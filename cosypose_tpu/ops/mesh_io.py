@@ -1,0 +1,152 @@
+"""Minimal mesh loaders (PLY / OBJ), host-side numpy.
+
+The reference loads meshes with trimesh (ref: cosypose/lib3d/rigid_mesh_database.py:14);
+trimesh is not part of this image, and BOP model sets ship as PLY, so a small
+self-contained loader covers the need. Supports ascii and binary_little_endian PLY
+with vertex x/y/z (+ optional extras, skipped) and triangle faces, plus basic OBJ.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_PLY_TYPES = {
+    "char": ("b", 1), "int8": ("b", 1),
+    "uchar": ("B", 1), "uint8": ("B", 1),
+    "short": ("h", 2), "int16": ("h", 2),
+    "ushort": ("H", 2), "uint16": ("H", 2),
+    "int": ("i", 4), "int32": ("i", 4),
+    "uint": ("I", 4), "uint32": ("I", 4),
+    "float": ("f", 4), "float32": ("f", 4),
+    "double": ("d", 8), "float64": ("d", 8),
+}
+
+
+def load_mesh(path: str):
+    """Load a mesh file → (vertices (V,3) float64, faces (F,3) int64)."""
+    path = str(path)
+    if path.lower().endswith(".ply"):
+        return load_ply(path)
+    if path.lower().endswith(".obj"):
+        return load_obj(path)
+    raise ValueError(f"Unsupported mesh format: {path}")
+
+
+def load_ply(path: str):
+    with open(path, "rb") as f:
+        data = f.read()
+    header_end = data.find(b"end_header\n")
+    if header_end < 0:
+        raise ValueError(f"Not a valid PLY file: {path}")
+    header = data[:header_end].decode("ascii", errors="replace").splitlines()
+    body = data[header_end + len(b"end_header\n"):]
+
+    fmt = None
+    elements = []  # list of (name, count, [(prop_name, type, list_count_type|None)])
+    for line in header:
+        parts = line.strip().split()
+        if not parts:
+            continue
+        if parts[0] == "format":
+            fmt = parts[1]
+        elif parts[0] == "element":
+            elements.append((parts[1], int(parts[2]), []))
+        elif parts[0] == "property":
+            if parts[1] == "list":
+                elements[-1][2].append((parts[4], parts[3], parts[2]))
+            else:
+                elements[-1][2].append((parts[2], parts[1], None))
+
+    if fmt == "ascii":
+        return _parse_ply_ascii(body, elements)
+    elif fmt == "binary_little_endian":
+        return _parse_ply_binary(body, elements, "<")
+    elif fmt == "binary_big_endian":
+        return _parse_ply_binary(body, elements, ">")
+    raise ValueError(f"Unsupported PLY format {fmt}")
+
+
+def _parse_ply_ascii(body: bytes, elements):
+    lines = body.decode("ascii", errors="replace").splitlines()
+    pos = 0
+    verts, faces = None, []
+    for name, count, props in elements:
+        if name == "vertex":
+            names = [p[0] for p in props]
+            xi, yi, zi = names.index("x"), names.index("y"), names.index("z")
+            arr = np.empty((count, 3), dtype=np.float64)
+            for i in range(count):
+                vals = lines[pos + i].split()
+                arr[i] = (float(vals[xi]), float(vals[yi]), float(vals[zi]))
+            verts = arr
+            pos += count
+        elif name == "face":
+            for i in range(count):
+                vals = lines[pos + i].split()
+                n = int(vals[0])
+                idx = [int(v) for v in vals[1 : 1 + n]]
+                for k in range(1, n - 1):  # fan triangulation
+                    faces.append((idx[0], idx[k], idx[k + 1]))
+            pos += count
+        else:
+            pos += count
+    return verts, np.asarray(faces, dtype=np.int64).reshape(-1, 3)
+
+
+def _parse_ply_binary(body: bytes, elements, endian: str):
+    off = 0
+    verts, faces = None, []
+    for name, count, props in elements:
+        fixed = all(p[2] is None for p in props)
+        if name == "vertex" and fixed:
+            fmt = endian + "".join(_PLY_TYPES[p[1]][0] for p in props)
+            size = struct.calcsize(fmt)
+            names = [p[0] for p in props]
+            xi, yi, zi = names.index("x"), names.index("y"), names.index("z")
+            dt = np.dtype([(p[0] + f"_{i}", endian + _PLY_TYPES[p[1]][0])
+                           for i, p in enumerate(props)])
+            rec = np.frombuffer(body, dtype=dt, count=count, offset=off)
+            verts = np.stack(
+                [rec[dt.names[xi]], rec[dt.names[yi]], rec[dt.names[zi]]], axis=-1
+            ).astype(np.float64)
+            off += size * count
+        elif name == "face":
+            # typical: one list property (vertex_indices) [+ possibly texcoords]
+            for _ in range(count):
+                for pname, ptype, ltype in props:
+                    lc, ls = _PLY_TYPES[ltype]
+                    (n,) = struct.unpack_from(endian + lc, body, off)
+                    off += ls
+                    pc, ps = _PLY_TYPES[ptype]
+                    vals = struct.unpack_from(endian + pc * n, body, off)
+                    off += ps * n
+                    if pname in ("vertex_indices", "vertex_index"):
+                        for k in range(1, n - 1):
+                            faces.append((vals[0], vals[k], vals[k + 1]))
+        else:
+            # skip fixed-size element
+            if fixed:
+                size = struct.calcsize(endian + "".join(_PLY_TYPES[p[1]][0] for p in props))
+                off += size * count
+            else:
+                raise ValueError(f"Cannot skip variable-size element {name}")
+    return verts, np.asarray(faces, dtype=np.int64).reshape(-1, 3)
+
+
+def load_obj(path: str):
+    verts, faces = [], []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                parts = line.split()
+                verts.append((float(parts[1]), float(parts[2]), float(parts[3])))
+            elif line.startswith("f "):
+                idx = [int(p.split("/")[0]) - 1 for p in line.split()[1:]]
+                for k in range(1, len(idx) - 1):
+                    faces.append((idx[0], idx[k], idx[k + 1]))
+    return (
+        np.asarray(verts, dtype=np.float64),
+        np.asarray(faces, dtype=np.int64).reshape(-1, 3),
+    )
