@@ -1,0 +1,254 @@
+"""Render-and-compare pose predictor with an on-device scanned refinement loop.
+
+Capability match for the reference's PosePredictor (ref: cosypose/models/pose.py:18-132)
+with the TPU-first restructuring sketched in SURVEY.md §7.1: one jitted program
+runs crop (roi_align gather) → render (on-device rasterizer) → backbone → 9D head
+→ image-space pose update, iterated via ``lax.scan`` with ``stop_gradient``
+between iterations (the reference detaches TCO between iterations,
+ref: pose.py:96-118). No host sync, no process boundary, no per-iteration
+device round-trip — the reference crosses all three every iteration.
+
+The network input is the 6-channel concat of the observed crop and the render
+(ref: pose.py:104); features are global-average-pooled and mapped to
+pose_dim=9 (rot6d + vxvyvz) by a linear head (ref: pose.py:81-87).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.camera import boxes_from_uv, get_K_crop_resize, project_points_robust
+from ..ops.cropping import deepim_crops
+from ..ops.pose_ops import apply_imagespace_predictions
+from ..ops.transforms import rot6d_to_matrix, quat_to_matrix
+from ..ops.rasterizer import rasterize
+from .efficientnet import EfficientNet
+from .wide_resnet import WideResNet18, WideResNet34, FlowNetSEncoder
+
+
+@dataclasses.dataclass(frozen=True)
+class PosePredictorConfig:
+    backbone: str = "efficientnet-b3"
+    render_size: tuple[int, int] = (240, 320)
+    pose_dim: int = 9
+    n_points_crop: int = 2000       # points projected for crop-box computation
+    lamb: float = 1.4               # deepim crop margin
+    compute_dtype: Any = jnp.float32  # bfloat16 for the backbone on TPU
+    raster_tile: tuple[int, int] = (24, 64)
+    raster_max_tris_per_tile: int = 128
+
+
+def make_backbone(cfg: PosePredictorConfig):
+    if cfg.backbone.startswith("efficientnet"):
+        bb = EfficientNet(variant=cfg.backbone, in_channels=6, dtype=cfg.compute_dtype)
+        return bb, bb.n_features
+    if "resnet34" in cfg.backbone:
+        bb = WideResNet34(dtype=cfg.compute_dtype)
+        return bb, bb.n_features
+    if "resnet18" in cfg.backbone:
+        bb = WideResNet18(dtype=cfg.compute_dtype)
+        return bb, bb.n_features
+    if cfg.backbone == "flownet":
+        bb = FlowNetSEncoder(dtype=cfg.compute_dtype)
+        return bb, bb.n_features
+    raise ValueError(f"Unknown backbone {cfg.backbone}")
+
+
+def _identity_pose_bias(pose_dim: int):
+    """Head bias so an untrained net outputs the identity update (dR=I, v=(0,0,1)).
+
+    The reference zero-initializes this bias, which makes the multiplicative
+    depth update vz·z collapse z→0 until training fixes it; identity init keeps
+    early refinement iterations well-posed without changing trained semantics.
+    """
+    if pose_dim == 9:
+        b = jnp.array([1, 0, 0, 0, 1, 0, 0, 0, 1], jnp.float32)
+    elif pose_dim == 7:
+        b = jnp.array([0, 0, 0, 1, 0, 0, 1], jnp.float32)  # quat xyzw + v
+    else:
+        raise ValueError(pose_dim)
+
+    def init(key, shape, dtype=jnp.float32):
+        del key
+        assert shape == b.shape, (shape, b.shape)
+        return b.astype(dtype)
+
+    return init
+
+
+class PoseNet(nn.Module):
+    """Backbone + global average pool + linear pose head (fp32 head)."""
+
+    cfg: PosePredictorConfig
+
+    @nn.compact
+    def __call__(self, x_nhwc, train: bool = False):
+        backbone, _ = make_backbone(self.cfg)
+        feats = backbone(x_nhwc, train=train)          # (B, h, w, C)
+        pooled = feats.mean(axis=(1, 2)).astype(jnp.float32)
+        return nn.Dense(
+            self.cfg.pose_dim,
+            dtype=jnp.float32,
+            bias_init=_identity_pose_bias(self.cfg.pose_dim),
+            name="pose_fc",
+        )(pooled)
+
+
+class PosePredictor:
+    """Stateless orchestrator: holds config + flax module, exposes pure fns.
+
+    Usage:
+        pp = PosePredictor(cfg)
+        variables = pp.init(key)
+        outputs = pp.forward(variables, mesh_data, images, K, TCO_init, n_iterations)
+    """
+
+    def __init__(self, cfg: PosePredictorConfig):
+        self.cfg = cfg
+        self.net = PoseNet(cfg)
+
+    def init(self, key: jax.Array):
+        h, w = self.cfg.render_size
+        dummy = jnp.zeros((1, h, w, 6), jnp.float32)
+        return self.net.init({"params": key}, dummy, train=False)
+
+    # -- single refinement iteration ------------------------------------
+    def _iteration(self, variables, mesh_data, images, K, TCO_input,
+                   train, rng, mutable):
+        cfg = self.cfg
+        crop_points = mesh_data["crop_points"]     # (B, P, 3)
+
+        # 1. crop box + observed crop + cropped intrinsics
+        uv = project_points_robust(crop_points, K, TCO_input)
+        boxes_rend = boxes_from_uv(uv)
+        boxes_crop, images_crop = deepim_crops(
+            images, boxes_rend, K, TCO_input, crop_points,
+            output_size=cfg.render_size, lamb=cfg.lamb,
+        )
+        K_crop = jax.lax.stop_gradient(
+            get_K_crop_resize(K, boxes_crop, images.shape[-2:], cfg.render_size)
+        )
+
+        # 2. render the object at the current pose estimate in the crop frame
+        render = rasterize(
+            mesh_data["vertices"], mesh_data["triangles"], mesh_data["tri_valid"],
+            TCO_input, K_crop,
+            image_size=cfg.render_size,
+            colors=mesh_data.get("colors"),
+            tile=cfg.raster_tile,
+            max_tris_per_tile=cfg.raster_max_tris_per_tile,
+        ).rgb  # (B, 3, H, W)
+
+        # 3. network forward on the 6-channel comparison stack (NHWC for TPU)
+        x = jnp.concatenate([images_crop, render], axis=1)
+        x = jnp.moveaxis(x, 1, -1)
+        if train:
+            out = self.net.apply(
+                variables, x, train=True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
+            pose_outputs, updates = out
+        else:
+            pose_outputs = self.net.apply(variables, x, train=False)
+            updates = None
+
+        # 4. image-space pose update
+        if cfg.pose_dim == 9:
+            dR = rot6d_to_matrix(pose_outputs[:, 0:6])
+            v = pose_outputs[:, 6:9]
+        else:
+            dR = quat_to_matrix(pose_outputs[:, 0:4])
+            v = pose_outputs[:, 4:7]
+        TCO_output = apply_imagespace_predictions(TCO_input, K_crop, v, dR)
+
+        iter_out = dict(
+            TCO_input=TCO_input,
+            TCO_output=TCO_output,
+            K_crop=K_crop,
+            pose_outputs=pose_outputs,
+            boxes_rend=boxes_rend,
+            boxes_crop=boxes_crop,
+        )
+        return TCO_output, iter_out, updates
+
+    # -- scanned multi-iteration forward --------------------------------
+    def forward(self, variables, mesh_data, images, K, TCO_init,
+                n_iterations: int = 1, train: bool = False,
+                rng: jax.Array | None = None):
+        """Run n_iterations of render-and-compare.
+
+        mesh_data: dict of per-candidate gathered mesh arrays
+          {vertices (B,V,3), triangles (B,F,3), tri_valid (B,F),
+           crop_points (B,P,3), colors optional (B,V,3)}
+        images (B, 3, H, W) float in [0,1]; K (B, 3, 3); TCO_init (B, 4, 4).
+
+        Returns dict with per-iteration stacked leaves, each (n_iter, B, ...)
+        — same contents as the reference's outputs['iteration=n'] dict
+        (ref: cosypose/models/pose.py:110-117) — plus 'TCO_final' (B, 4, 4)
+        and, under train, 'batch_stats' updates.
+        """
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+
+        if train:
+            # thread mutable batch stats through the scan carry
+            def body(carry, it_rng):
+                TCO, vars_c = carry
+                TCO = jax.lax.stop_gradient(TCO)
+                TCO_out, iter_out, updates = self._iteration(
+                    vars_c, mesh_data, images, K, TCO, True, it_rng, True
+                )
+                vars_n = {**vars_c, "batch_stats": updates["batch_stats"]}
+                return (TCO_out, vars_n), iter_out
+
+            rngs = jax.random.split(rng, n_iterations)
+            (TCO_final, vars_out), outs = jax.lax.scan(
+                body, (TCO_init, variables), rngs
+            )
+            outs["TCO_final"] = TCO_final
+            outs["batch_stats"] = vars_out["batch_stats"]
+            return outs
+        else:
+            def body(carry, _):
+                TCO_out, iter_out, _unused = self._iteration(
+                    variables, mesh_data, images, K, carry, False, rng, False
+                )
+                return TCO_out, iter_out
+
+            TCO_final, outs = jax.lax.scan(
+                body, TCO_init, jnp.arange(n_iterations)
+            )
+            outs["TCO_final"] = TCO_final
+            return outs
+
+
+def gather_mesh_data(mesh_db, label_ids: jax.Array, n_points_crop: int = 2000,
+                     colors: bool = True) -> dict:
+    """Device-side gather of per-candidate mesh arrays from a BatchedMeshes.
+
+    (replaces the reference's mesh_db.select(labels) + sample_points,
+    ref: cosypose/models/pose.py:50-51, but keyed by integer ids so it can run
+    inside jit)
+    """
+    P = min(n_points_crop, mesh_db.points.shape[1])
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.choice(mesh_db.points.shape[1], size=P, replace=False))
+    out = dict(
+        vertices=jnp.take(mesh_db.vertices, label_ids, axis=0),
+        triangles=jnp.take(mesh_db.triangles, label_ids, axis=0),
+        tri_valid=jnp.take(mesh_db.tri_valid, label_ids, axis=0),
+        crop_points=jnp.take(
+            jnp.take(mesh_db.points, ids, axis=1), label_ids, axis=0
+        ),
+    )
+    if colors and getattr(mesh_db, "colors", None) is not None:
+        out["colors"] = jnp.take(mesh_db.colors, label_ids, axis=0)
+    return out

@@ -62,7 +62,9 @@ def rot6d_to_matrix(rot6d: jax.Array) -> jax.Array:
     """
     x_raw = rot6d[..., 0:3]
     y_raw = rot6d[..., 3:6]
-    eps = 1e-8
+    # guard only against exact 0/0 — torch divides by the exact norm, and the
+    # raw head outputs can legitimately be ~1e-9 at init
+    eps = 1e-20
     x = x_raw / jnp.maximum(jnp.linalg.norm(x_raw, axis=-1, keepdims=True), eps)
     z = jnp.cross(x, y_raw)
     z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), eps)
