@@ -1,0 +1,56 @@
+"""Device-mesh / sharding helpers.
+
+TPU-native replacement for the reference's distributed stack
+(ref: cosypose/utils/distributed.py — NCCL process groups, file-based
+rendezvous, SLURM env plumbing): here a single controller builds a
+``jax.sharding.Mesh`` and annotates shardings; XLA inserts the collectives
+over ICI. The reference's only parallelism is data parallelism (SURVEY.md
+§2.14) — the mesh is therefore 1-D ('data'); the helpers still accept extra
+axes for future model sharding.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: int | None = None, axis_names: Sequence[str] = ("data",)
+) -> Mesh:
+    """Build a mesh over the first n_devices (default: all)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    if len(axis_names) == 1:
+        shape = (len(devices),)
+    else:
+        # trailing axes get size 1 unless the device count factors trivially
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    return Mesh(np.asarray(devices).reshape(shape), axis_names)
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Place a host batch onto the mesh, sharded along the leading dim."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def gather_to_host(tree):
+    """Fetch fully-addressable arrays back to host numpy (inference gathers).
+
+    The fixed-shape analog of the reference's file-system gather
+    (ref: cosypose/utils/tensor_collection.py:142-163): prediction buffers are
+    padded per shard, all-gathered by XLA when jitted with replicated output
+    sharding, then pulled once.
+    """
+    return jax.tree.map(lambda x: np.asarray(x), tree)
