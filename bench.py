@@ -1,0 +1,107 @@
+"""Headline benchmark: refiner crops/sec/chip (full render-and-compare pipeline).
+
+Measures the flagship configuration — EfficientNet-B3 refiner at 240x320 with
+the on-device rasterizer, crop extraction, backbone and pose update all inside
+one jit — in crops processed per second on the available accelerator.
+
+vs_baseline: ratio against the same pipeline executed on host CPU (cached in
+BASELINE_CPU.json after first measurement). The reference's published perf
+target is throughput vs the PyTorch-CPU pipeline (BASELINE.md north star:
+>=20x per chip); its renderer is CPU-bound even in GPU runs
+(ref: cosypose/rendering/bullet_batch_renderer.py:46-116), so a same-network
+CPU measurement is the closest honest stand-in available in this image.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import pathlib
+import time
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent
+CPU_CACHE = REPO / "BASELINE_CPU.json"
+
+BATCH = 32
+N_ITER = 1  # refiner iterations per call
+REPS = 10
+
+
+def build(B):
+    import jax
+    import jax.numpy as jnp
+    from cosypose_tpu.models import PosePredictor, PosePredictorConfig
+    from cosypose_tpu.models.pose_predictor import gather_mesh_data
+    from cosypose_tpu.ops.mesh_db import build_mesh_db
+    from __graft_entry__ import _demo_specs, _make_inputs
+
+    cfg = PosePredictorConfig(backbone="efficientnet-b3")
+    pp = PosePredictor(cfg)
+    variables = pp.init(jax.random.PRNGKey(0))
+    mesh_db = build_mesh_db(_demo_specs())
+    images, K, TCO, label_ids = _make_inputs(B)
+
+    @jax.jit
+    def fn(variables, images, K, TCO, label_ids):
+        mesh_data = gather_mesh_data(mesh_db, label_ids, cfg.n_points_crop)
+        outs = pp.forward(variables, mesh_data, images, K, TCO, n_iterations=N_ITER)
+        return outs["TCO_final"]
+
+    args = (variables, images, K, TCO, label_ids)
+    return fn, args
+
+
+def measure(fn, args, reps):
+    out = fn(*args)
+    out.block_until_ready()  # compile + warmup
+    out = fn(*args)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return reps * args[1].shape[0] * N_ITER / dt
+
+
+def cpu_baseline():
+    if CPU_CACHE.exists():
+        return json.loads(CPU_CACHE.read_text())["crops_per_sec"]
+    import jax
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        fn, args = build(4)
+        value = measure(fn, args, 2)
+    CPU_CACHE.write_text(json.dumps({"crops_per_sec": value}))
+    return value
+
+
+def main():
+    import jax
+
+    backend = jax.default_backend()
+    fn, args = build(BATCH)
+    value = measure(fn, args, REPS)
+
+    try:
+        base = cpu_baseline()
+        vs = value / base if base > 0 else None
+    except Exception:
+        vs = None
+
+    print(
+        json.dumps(
+            {
+                "metric": f"refiner_crops_per_sec_{backend}",
+                "value": round(value, 2),
+                "unit": "crops/s",
+                "vs_baseline": round(vs, 2) if vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -136,10 +136,10 @@ class PosePredictor:
 
         # 2. render the object at the current pose estimate in the crop frame
         render = rasterize(
-            mesh_data["vertices"], mesh_data["triangles"], mesh_data["tri_valid"],
+            mesh_data["tri_verts"], mesh_data["tri_valid"],
             TCO_input, K_crop,
             image_size=cfg.render_size,
-            colors=mesh_data.get("colors"),
+            colors=mesh_data.get("tri_colors"),
             tile=cfg.raster_tile,
             max_tris_per_tile=cfg.raster_max_tris_per_tile,
         ).rgb  # (B, 3, H, W)
@@ -184,8 +184,8 @@ class PosePredictor:
         """Run n_iterations of render-and-compare.
 
         mesh_data: dict of per-candidate gathered mesh arrays
-          {vertices (B,V,3), triangles (B,F,3), tri_valid (B,F),
-           crop_points (B,P,3), colors optional (B,V,3)}
+          {tri_verts (B,F,3,3), tri_colors (B,F,3,3), tri_valid (B,F),
+           crop_points (B,P,3)}
         images (B, 3, H, W) float in [0,1]; K (B, 3, 3); TCO_init (B, 4, 4).
 
         Returns dict with per-iteration stacked leaves, each (n_iter, B, ...)
@@ -228,27 +228,24 @@ class PosePredictor:
             return outs
 
 
-def gather_mesh_data(mesh_db, label_ids: jax.Array, n_points_crop: int = 2000,
-                     colors: bool = True) -> dict:
+def gather_mesh_data(mesh_db, label_ids: jax.Array, n_points_crop: int = 2000) -> dict:
     """Device-side gather of per-candidate mesh arrays from a BatchedMeshes.
 
-    (replaces the reference's mesh_db.select(labels) + sample_points,
-    ref: cosypose/models/pose.py:50-51, but keyed by integer ids so it can run
-    inside jit)
+    Replaces the reference's mesh_db.select(labels) + sample_points
+    (ref: cosypose/models/pose.py:50-51) but keyed by integer ids so it can run
+    inside jit. Geometry is triangle-major (tri_verts/tri_colors) — dense
+    corner positions, no vertex-index indirection (see ops/mesh_db.py docstring).
     """
     P = min(n_points_crop, mesh_db.points.shape[1])
     import numpy as np
 
     rng = np.random.RandomState(0)
     ids = jnp.asarray(rng.choice(mesh_db.points.shape[1], size=P, replace=False))
-    out = dict(
-        vertices=jnp.take(mesh_db.vertices, label_ids, axis=0),
-        triangles=jnp.take(mesh_db.triangles, label_ids, axis=0),
+    return dict(
+        tri_verts=jnp.take(mesh_db.tri_verts, label_ids, axis=0),
+        tri_colors=jnp.take(mesh_db.tri_colors, label_ids, axis=0),
         tri_valid=jnp.take(mesh_db.tri_valid, label_ids, axis=0),
         crop_points=jnp.take(
             jnp.take(mesh_db.points, ids, axis=1), label_ids, axis=0
         ),
     )
-    if colors and getattr(mesh_db, "colors", None) is not None:
-        out["colors"] = jnp.take(mesh_db.colors, label_ids, axis=0)
-    return out

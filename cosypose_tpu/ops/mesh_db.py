@@ -11,7 +11,12 @@ argmins deterministic), then stored as device arrays:
     valid      (n_objects, P_max)    bool
     symmetries (n_objects, S_max, 4, 4) float32
     sym_valid  (n_objects, S_max)    bool
-    triangles  (n_objects, F_max, 3) int32   (for the rasterizer; -1-padded)
+    tri_verts  (n_objects, F_max, 3, 3) float32  (triangle-major unrolled corner
+               positions for the rasterizer — index-free geometry: gathering a
+               triangle *index* array and then indexing vertices with it is a
+               gather-of-gathered-indices, which the XLA TPU compiler lowers
+               catastrophically; dense corner arrays avoid indirection entirely)
+    tri_colors (n_objects, F_max, 3, 3) float32  per-corner albedo
     tri_valid  (n_objects, F_max)    bool
 
 ``select(label_ids)`` is a device-side gather keyed by integer ids, so the whole
@@ -44,6 +49,7 @@ class MeshSpec:
     # direct data path (tests / procedural meshes):
     vertices: np.ndarray | None = None  # (V, 3) in mesh units
     faces: np.ndarray | None = None  # (F, 3) int
+    colors: np.ndarray | None = None  # (V, 3) albedo in [0, 1]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -55,7 +61,7 @@ class BatchedMeshes:
     """
 
     def __init__(self, labels, points, valid, symmetries, sym_valid,
-                 vertices=None, vert_valid=None, triangles=None, tri_valid=None,
+                 tri_verts=None, tri_colors=None, tri_valid=None,
                  infos=None):
         self.labels = list(labels)
         self.label_to_id = {l: i for i, l in enumerate(self.labels)}
@@ -63,16 +69,15 @@ class BatchedMeshes:
         self.valid = valid
         self.symmetries = symmetries
         self.sym_valid = sym_valid
-        self.vertices = vertices
-        self.vert_valid = vert_valid
-        self.triangles = triangles
+        self.tri_verts = tri_verts
+        self.tri_colors = tri_colors
         self.tri_valid = tri_valid
         self.infos = infos or {}
 
     # -- pytree protocol ---------------------------------------------------
     def tree_flatten(self):
         leaves = (self.points, self.valid, self.symmetries, self.sym_valid,
-                  self.vertices, self.vert_valid, self.triangles, self.tri_valid)
+                  self.tri_verts, self.tri_colors, self.tri_valid)
         aux = (self.labels, self.infos)
         return leaves, aux
 
@@ -180,15 +185,17 @@ def build_mesh_db(
         assert resample_n_points is None
 
     rng = np.random.RandomState(0)
-    labels, points_l, syms_l, verts_l, tris_l = [], [], [], [], []
+    labels, points_l, syms_l, triverts_l, tricols_l = [], [], [], [], []
     infos = {}
     for spec in specs:
+        colors = None
         if spec.vertices is not None:
             verts = np.asarray(spec.vertices, dtype=np.float64)
             faces = np.asarray(spec.faces if spec.faces is not None else
                                np.zeros((0, 3)), dtype=np.int64)
+            colors = spec.colors
         else:
-            verts, faces = load_mesh(spec.mesh_path)
+            verts, faces, colors = load_mesh(spec.mesh_path, with_colors=True)
         scale = {"mm": 0.001, "m": 1.0}[spec.mesh_units]
         verts = verts * scale
 
@@ -219,8 +226,14 @@ def build_mesh_db(
         labels.append(spec.label)
         points_l.append(pts.astype(np.float32))
         syms_l.append(syms)
-        verts_l.append(verts.astype(np.float32))
-        tris_l.append(faces.astype(np.int32))
+        if keep_geometry:
+            v32 = verts.astype(np.float32)
+            f = faces.astype(np.int64)
+            triverts_l.append(v32[f])  # (F, 3, 3) unrolled on host, once
+            if colors is not None:
+                tricols_l.append(colors.astype(np.float32)[f])
+            else:
+                tricols_l.append(np.full((f.shape[0], 3, 3), 0.7, np.float32))
         infos[spec.label] = dict(
             label=spec.label, n_points=pts.shape[0], n_sym=syms.shape[0],
             diameter_m=spec.diameter_m,
@@ -229,14 +242,13 @@ def build_mesh_db(
     points, valid = _pad_points(points_l, rng)
     symmetries, sym_valid = _pad_with(syms_l, np.eye(4, dtype=np.float32))
 
-    vertices = vert_valid = triangles = tri_valid = None
+    tri_verts = tri_colors = tri_valid = None
     if keep_geometry:
-        vertices, vert_valid = _pad_points(verts_l, rng)
-        # pad triangles with degenerate (0,0,0) faces — rasterizer skips them
-        triangles, tri_valid = _pad_with(tris_l, np.zeros(3, dtype=np.int32))
-        vertices = jnp.asarray(vertices)
-        vert_valid = jnp.asarray(vert_valid)
-        triangles = jnp.asarray(triangles)
+        # pad with degenerate zero-area triangles — rasterizer masks them out
+        tri_verts, tri_valid = _pad_with(triverts_l, np.zeros((3, 3), np.float32))
+        tri_colors, _ = _pad_with(tricols_l, np.zeros((3, 3), np.float32))
+        tri_verts = jnp.asarray(tri_verts)
+        tri_colors = jnp.asarray(tri_colors)
         tri_valid = jnp.asarray(tri_valid)
 
     return BatchedMeshes(
@@ -245,9 +257,8 @@ def build_mesh_db(
         jnp.asarray(valid),
         jnp.asarray(symmetries),
         jnp.asarray(sym_valid),
-        vertices=vertices,
-        vert_valid=vert_valid,
-        triangles=triangles,
+        tri_verts=tri_verts,
+        tri_colors=tri_colors,
         tri_valid=tri_valid,
         infos=infos,
     )

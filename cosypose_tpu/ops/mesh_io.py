@@ -24,14 +24,24 @@ _PLY_TYPES = {
 }
 
 
-def load_mesh(path: str):
-    """Load a mesh file → (vertices (V,3) float64, faces (F,3) int64)."""
+def load_mesh(path: str, with_colors: bool = False):
+    """Load a mesh file → (vertices (V,3) float64, faces (F,3) int64[, colors]).
+
+    with_colors=True additionally returns per-vertex albedo (V,3) in [0,1] (or
+    None when the file has no color attributes) — the stand-in for the
+    reference's textured URDF rendering (BOP PLY models carry vertex colors).
+    """
     path = str(path)
     if path.lower().endswith(".ply"):
-        return load_ply(path)
-    if path.lower().endswith(".obj"):
-        return load_obj(path)
-    raise ValueError(f"Unsupported mesh format: {path}")
+        verts, faces, colors = load_ply(path)
+    elif path.lower().endswith(".obj"):
+        verts, faces = load_obj(path)
+        colors = None
+    else:
+        raise ValueError(f"Unsupported mesh format: {path}")
+    if with_colors:
+        return verts, faces, colors
+    return verts, faces
 
 
 def load_ply(path: str):
@@ -68,18 +78,37 @@ def load_ply(path: str):
     raise ValueError(f"Unsupported PLY format {fmt}")
 
 
+def _extract_colors(names, rec, dt):
+    if not all(c in names for c in ("red", "green", "blue")):
+        return None
+    cols = np.stack(
+        [rec[dt.names[names.index(c)]] for c in ("red", "green", "blue")], axis=-1
+    ).astype(np.float64)
+    if cols.max() > 1.0:
+        cols = cols / 255.0
+    return cols
+
+
 def _parse_ply_ascii(body: bytes, elements):
     lines = body.decode("ascii", errors="replace").splitlines()
     pos = 0
-    verts, faces = None, []
+    verts, faces, colors = None, [], None
     for name, count, props in elements:
         if name == "vertex":
             names = [p[0] for p in props]
             xi, yi, zi = names.index("x"), names.index("y"), names.index("z")
             arr = np.empty((count, 3), dtype=np.float64)
+            has_col = all(c in names for c in ("red", "green", "blue"))
+            if has_col:
+                ci = [names.index(c) for c in ("red", "green", "blue")]
+                colors = np.empty((count, 3), dtype=np.float64)
             for i in range(count):
                 vals = lines[pos + i].split()
                 arr[i] = (float(vals[xi]), float(vals[yi]), float(vals[zi]))
+                if has_col:
+                    colors[i] = tuple(float(vals[c]) for c in ci)
+            if has_col and colors.max() > 1.0:
+                colors = colors / 255.0
             verts = arr
             pos += count
         elif name == "face":
@@ -92,12 +121,12 @@ def _parse_ply_ascii(body: bytes, elements):
             pos += count
         else:
             pos += count
-    return verts, np.asarray(faces, dtype=np.int64).reshape(-1, 3)
+    return verts, np.asarray(faces, dtype=np.int64).reshape(-1, 3), colors
 
 
 def _parse_ply_binary(body: bytes, elements, endian: str):
     off = 0
-    verts, faces = None, []
+    verts, faces, colors = None, [], None
     for name, count, props in elements:
         fixed = all(p[2] is None for p in props)
         if name == "vertex" and fixed:
@@ -111,6 +140,7 @@ def _parse_ply_binary(body: bytes, elements, endian: str):
             verts = np.stack(
                 [rec[dt.names[xi]], rec[dt.names[yi]], rec[dt.names[zi]]], axis=-1
             ).astype(np.float64)
+            colors = _extract_colors(names, rec, dt)
             off += size * count
         elif name == "face":
             # typical: one list property (vertex_indices) [+ possibly texcoords]
@@ -132,7 +162,7 @@ def _parse_ply_binary(body: bytes, elements, endian: str):
                 off += size * count
             else:
                 raise ValueError(f"Cannot skip variable-size element {name}")
-    return verts, np.asarray(faces, dtype=np.int64).reshape(-1, 3)
+    return verts, np.asarray(faces, dtype=np.int64).reshape(-1, 3), colors
 
 
 def load_obj(path: str):

@@ -38,33 +38,32 @@ class RenderOutput(NamedTuple):
     mask: jax.Array   # (B, H, W) bool
 
 
-def _triangle_planes(verts_cam, tris, tri_valid, K, colors, z_near):
+def _triangle_planes(tri_verts_cam, tri_valid, K, tri_colors, z_near):
     """Per-triangle affine plane coefficients in screen space.
 
-    verts_cam (V, 3) camera-frame; tris (F, 3) int32; K (3, 3);
-    colors (V, 3) vertex albedo. Returns a dict of (F, ...) arrays:
+    tri_verts_cam (F, 3, 3) camera-frame per-triangle corner positions
+    (unrolled — the mesh database stores triangle-major geometry precisely so
+    the hot path has ZERO index indirection; gathers of gathered index arrays
+    trigger a catastrophic XLA/TPU lowering); K (3, 3); tri_colors (F, 3, 3)
+    per-corner albedo. Returns a dict of (F, ...) arrays:
       lam_a/lam_b/lam_c (F, 3): barycentric_i(x,y) = a_i x + b_i y + c_i
-      izp (F, 3): plane for 1/z; rgbzp (F, 3, 3): planes for color·(1/z)
+      iz_abc (F, 3): plane for 1/z; col_* (F, 3): planes for color·(1/z)
       bbox (F, 4), valid (F,)
     """
-    z = verts_cam[:, 2]
-    behind = z < z_near
+    tv = tri_verts_cam  # (F, 3corners, 3xyz)
+    z = tv[..., 2]
+    tbehind = (z < z_near).any(axis=-1)
     zs = jnp.maximum(z, z_near)
-    u = K[0, 0] * verts_cam[:, 0] / zs + K[0, 2]
-    v = K[1, 1] * verts_cam[:, 1] / zs + K[1, 2]
-    iz = 1.0 / zs
-
-    p = jnp.stack([u, v], axis=-1)  # (V, 2)
-    tp = p[tris]          # (F, 3, 2)
-    tiz = iz[tris]        # (F, 3)
-    tbehind = behind[tris].any(axis=-1)
+    u = K[0, 0] * tv[..., 0] / zs + K[0, 2]  # (F, 3)
+    v = K[1, 1] * tv[..., 1] / zs + K[1, 2]
+    tiz = 1.0 / zs
+    tp = jnp.stack([u, v], axis=-1)  # (F, 3, 2)
 
     # face shading (headlight Lambertian on the camera-frame normal, two-sided)
-    tv = verts_cam[tris]  # (F, 3, 3)
     n = jnp.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
     intensity = 0.35 + 0.65 * jnp.abs(n[:, 2])  # (F,)
-    tcol = colors[tris] * intensity[:, None, None]  # (F, 3, 3)
+    tcol = tri_colors * intensity[:, None, None]  # (F, 3, 3)
 
     x0, y0 = tp[:, 0, 0], tp[:, 0, 1]
     x1, y1 = tp[:, 1, 0], tp[:, 1, 1]
@@ -112,13 +111,12 @@ def _triangle_planes(verts_cam, tris, tri_valid, K, colors, z_near):
     static_argnames=("image_size", "tile", "max_tris_per_tile", "z_near"),
 )
 def rasterize(
-    vertices: jax.Array,      # (B, V, 3) object-frame vertices
-    triangles: jax.Array,     # (B, F, 3) int32, degenerate-padded
+    tri_verts: jax.Array,     # (B, F, 3, 3) object-frame per-triangle corners
     tri_valid: jax.Array,     # (B, F) bool
     TCO: jax.Array,           # (B, 4, 4) object→camera
     K: jax.Array,             # (B, 3, 3) intrinsics of the target frame
     image_size: tuple[int, int] = (240, 320),
-    colors: jax.Array | None = None,  # (B, V, 3) vertex albedo in [0,1]
+    colors: jax.Array | None = None,  # (B, F, 3, 3) per-corner albedo in [0,1]
     tile: tuple[int, int] = (24, 64),
     max_tris_per_tile: int = 128,
     z_near: float = 0.05,
@@ -127,30 +125,30 @@ def rasterize(
 
     Replaces BulletBatchRenderer.render (ref: bullet_batch_renderer.py:46-90):
     same contract — one object per batch item, object-frame mesh posed by TCO,
-    rendered at `image_size` under K — but fully on-device and differentiable
-    in pose is not required (the reference's renderer is likewise a black box;
-    gradients flow through the image-space update instead).
+    rendered at `image_size` under K — but fully on-device. Geometry is
+    triangle-major (unrolled corners, no vertex index indirection): dense,
+    fixed-shape, gather-free in the per-pixel path.
     """
     H, W = image_size
     th, tw = tile
     assert H % th == 0 and W % tw == 0, "tile must divide image size"
     nty, ntx = H // th, W // tw
     n_tiles = nty * ntx
-    Kcap = min(max_tris_per_tile, triangles.shape[1])
+    Kcap = min(max_tris_per_tile, tri_verts.shape[1])
 
     if colors is None:
-        colors = jnp.full(vertices.shape, 0.7, dtype=vertices.dtype)
+        colors = jnp.full(tri_verts.shape, 0.7, dtype=tri_verts.dtype)
 
-    # camera-frame vertices
-    v_cam = (
+    # camera-frame triangle corners
+    tv_cam = (
         jnp.einsum(
-            "bij,bvj->bvi", TCO[:, :3, :3], vertices,
+            "bij,bfvj->bfvi", TCO[:, :3, :3], tri_verts,
             precision=jax.lax.Precision.HIGHEST,
         )
-        + TCO[:, None, :3, 3]
+        + TCO[:, None, None, :3, 3]
     )
-    planes = jax.vmap(_triangle_planes, in_axes=(0, 0, 0, 0, 0, None))(
-        v_cam, triangles, tri_valid, K, colors, z_near
+    planes = jax.vmap(_triangle_planes, in_axes=(0, 0, 0, 0, None))(
+        tv_cam, tri_valid, K, colors, z_near
     )
 
     # ---- binning: per tile, indices of up to Kcap overlapping triangles ----

@@ -42,8 +42,7 @@ def test_cube_render_geometry():
     TCO[:, 2, 3] = 0.5  # cube 0.5m in front
     K = make_K(B)
     out = rasterize(
-        jnp.asarray(verts[None]),
-        jnp.asarray(tris[None]),
+        jnp.asarray(verts[tris][None]),
         jnp.ones((B, tris.shape[0]), bool),
         jnp.asarray(TCO),
         jnp.asarray(K),
@@ -81,8 +80,7 @@ def test_cube_render_depth_ordering():
     TCO[:, 2, 3] = 0.5
     K = make_K(1)
     out = rasterize(
-        jnp.asarray(verts[None]),
-        jnp.asarray(tris[None]),
+        jnp.asarray(verts[tris][None]),
         jnp.ones((1, tris.shape[0]), bool),
         jnp.asarray(TCO),
         jnp.asarray(K),
@@ -107,8 +105,7 @@ def test_rasterize_matches_bruteforce_oracle():
     K = make_K(1, fx=200, fy=200, cx=32, cy=24)
     H, W = 48, 64
     out = rasterize(
-        jnp.asarray(verts[None]),
-        jnp.asarray(tris[None]),
+        jnp.asarray(verts[tris][None]),
         jnp.ones((1, tris.shape[0]), bool),
         jnp.asarray(TCO),
         jnp.asarray(K),
