@@ -1,0 +1,277 @@
+"""Stage 2: multi-view object-candidate matching (RANSAC over relative poses).
+
+Capability match for the reference's ``cosypose/multiview/ransac.py``: closed-form
+relative camera pose hypotheses from pairs of object-object matches with symmetry
+resolution, hypothesis scoring over all tentative matches, greedy inlier
+selection, and scene-level matching via strongly-connected components.
+
+TPU-first split (SURVEY.md §7.1):
+  * host (C++): tentative-match enumeration + seed sampling
+    (matching_cext.make_ransac_infos) and greedy unique inlier matching
+    (find_ransac_inliers) — data-dependent combinatorics;
+  * device (jit): ALL distance math — symmetry-resolved camera-pose estimation
+    and hypothesis×match scoring — as fixed-shape masked kernels, padded to
+    power-of-two buckets to bound recompilation;
+  * host (scipy/pandas): connected components + bookkeeping.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+from scipy.sparse import csr_matrix
+from scipy.sparse.csgraph import connected_components
+
+from ..ops.transforms import invert_T, transform_pts
+from ..utils.tensor_collection import PandasTensorCollection
+from ..utils.timer import Timer
+from ..utils.logging import get_logger
+from . import matching_cext
+
+logger = get_logger(__name__)
+
+
+def _bucket(n: int, minimum: int = 256) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def _sym_dist(T1, T2, points, syms, sym_valid):
+    """min over T1's symmetries of mean point distance — the scoring metric
+    (ref: lib3d/symmetric_distances.py:38-57, selection by mean squared dist,
+    value = mean sqrt dist under the best symmetry)."""
+    T1_sym = jnp.einsum("nij,nsjk->nsik", T1, syms,
+                        precision=jax.lax.Precision.HIGHEST)
+    p1 = transform_pts(T1_sym, points)          # (N, S, P, 3)
+    p2 = transform_pts(T2, points)[:, None]     # (N, 1, P, 3)
+    d2 = ((p1 - p2) ** 2).sum(-1)               # (N, S, P)
+    mean_d2 = jnp.where(sym_valid, d2.mean(-1), jnp.inf)
+    best = jnp.argmin(mean_d2, axis=1)
+    n = jnp.arange(T1.shape[0])
+    return jnp.sqrt(d2[n, best]).mean(-1), best
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _estimate_camera_poses_kernel(
+    TC1Oa, TC2Ob, TC1Og, TC2Od,
+    syms_ab, sym_valid_ab,       # symmetries of the seed's first match label
+    points_gd, syms_gd, sym_valid_gd,  # geometry of the second match label
+):
+    """Symmetry-resolved TC1C2 per seed (ref: multiview/ransac.py:19-47).
+
+    For every symmetry S of object a, the camera hypothesis is
+    TC1C2(S) = TC1Oa @ S @ TObC2; it is scored by how well it re-poses the
+    second match (g, d), with g's own symmetries minimized over. The best S
+    wins. All (N, Sa) hypotheses are evaluated in one fixed-shape block.
+    """
+    N, Sa = syms_ab.shape[:2]
+    TObC2 = invert_T(TC2Ob)
+    hp = jax.lax.Precision.HIGHEST
+    # (N, Sa, 4, 4) camera hypotheses
+    TC1C2_s = jnp.einsum("nij,nsjk,nkl->nsil", TC1Oa, syms_ab, TObC2,
+                         precision=hp)
+    # re-posed second-match object: T2(s) = TC1C2(s) @ TC2Od
+    T2_s = jnp.einsum("nsij,njk->nsik", TC1C2_s, TC2Od, precision=hp)
+
+    def score_one_sym(T2_col):
+        d, _ = _sym_dist(TC1Og, T2_col, points_gd, syms_gd, sym_valid_gd)
+        return d
+
+    dists = jax.vmap(score_one_sym, in_axes=1, out_axes=1)(T2_s)  # (N, Sa)
+    dists = jnp.where(sym_valid_ab, dists, jnp.inf)
+    best = jnp.argmin(dists, axis=1)
+    n = jnp.arange(N)
+    return TC1C2_s[n, best]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _score_tmatches_kernel(TC1Oa, TC2Ob, TC1C2, points, syms, sym_valid):
+    """Distance of tentative match (a,b) under camera hypothesis TC1C2
+    (ref: multiview/ransac.py:67-74): symmetric distance between TC1Oa and
+    TC1C2 @ TC2Ob."""
+    TWOb = jnp.einsum("nij,njk->nik", TC1C2, TC2Ob,
+                      precision=jax.lax.Precision.HIGHEST)
+    d, _ = _sym_dist(TC1Oa, TWOb, points, syms, sym_valid)
+    return d
+
+
+def _pad_rows(arr, n):
+    pad = n - arr.shape[0]
+    if pad == 0:
+        return arr
+    cfg = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(arr, cfg, mode="edge") if arr.shape[0] else np.zeros(
+        (n,) + arr.shape[1:], arr.dtype
+    )
+
+
+def estimate_camera_poses_batch(candidates, seeds, mesh_db, chunk=2048):
+    """Host gather + padded device scoring of all RANSAC seeds."""
+    poses = np.asarray(candidates.poses)
+    label_ids = mesh_db.ids_for(candidates.infos["label"].values)
+    label_ids = np.asarray(label_ids)
+    syms = np.asarray(mesh_db.symmetries)
+    sym_valid = np.asarray(mesh_db.sym_valid)
+    points = np.asarray(mesh_db.points)
+
+    n = len(seeds["match1_cand1"])
+    nb = _bucket(n, chunk)
+    m1c1 = _pad_rows(seeds["match1_cand1"], nb)
+    m1c2 = _pad_rows(seeds["match1_cand2"], nb)
+    m2c1 = _pad_rows(seeds["match2_cand1"], nb)
+    m2c2 = _pad_rows(seeds["match2_cand2"], nb)
+
+    lab_ab = label_ids[m1c1]
+    lab_gd = label_ids[m2c1]
+    TC1C2 = _estimate_camera_poses_kernel(
+        jnp.asarray(poses[m1c1]), jnp.asarray(poses[m1c2]),
+        jnp.asarray(poses[m2c1]), jnp.asarray(poses[m2c2]),
+        jnp.asarray(syms[lab_ab]), jnp.asarray(sym_valid[lab_ab]),
+        jnp.asarray(points[lab_gd]), jnp.asarray(syms[lab_gd]),
+        jnp.asarray(sym_valid[lab_gd]),
+    )
+    return np.asarray(TC1C2)[:n]
+
+
+def score_tmatches_batch(candidates, tmatches, TC1C2, mesh_db, chunk=8192):
+    poses = np.asarray(candidates.poses)
+    label_ids = np.asarray(mesh_db.ids_for(candidates.infos["label"].values))
+    syms = np.asarray(mesh_db.symmetries)
+    sym_valid = np.asarray(mesh_db.sym_valid)
+    points = np.asarray(mesh_db.points)
+
+    n = len(tmatches["cand1"])
+    nb = _bucket(n, chunk)
+    c1 = _pad_rows(tmatches["cand1"], nb)
+    c2 = _pad_rows(tmatches["cand2"], nb)
+    hyp = _pad_rows(tmatches["hypothesis_id"], nb)
+    lab = label_ids[c1]
+    dists = _score_tmatches_kernel(
+        jnp.asarray(poses[c1]), jnp.asarray(poses[c2]),
+        jnp.asarray(TC1C2[hyp]),
+        jnp.asarray(points[lab]), jnp.asarray(syms[lab]),
+        jnp.asarray(sym_valid[lab]),
+    )
+    return np.asarray(dists)[:n]
+
+
+def scene_level_matching(candidates, inliers):
+    """SCC over the inlier-match graph → physical object ids; keep components
+    with ≥2 candidates (ref: multiview/ransac.py:91-116)."""
+    cand1 = inliers["inlier_matches_cand1"]
+    cand2 = inliers["inlier_matches_cand2"]
+    n_cand = len(candidates)
+    graph = csr_matrix(
+        (np.ones(len(cand1), dtype=np.int64), (cand1, cand2)),
+        shape=(n_cand, n_cand),
+    )
+    _, ids = connected_components(graph, directed=True, connection="strong")
+
+    counts = np.bincount(ids)
+    keep = counts[ids] >= 2
+    cand_infos = candidates.infos.copy()
+    cand_infos["component_id"] = ids
+    cand_infos = cand_infos[keep].reset_index(drop=True)
+    remap = {c: i for i, c in enumerate(sorted(cand_infos["component_id"].unique()))}
+    cand_infos["obj_id"] = cand_infos["component_id"].map(remap)
+    del cand_infos["component_id"]
+
+    keep_rows = cand_infos["cand_id"].values
+    return PandasTensorCollection(
+        cand_infos, poses=jnp.asarray(np.asarray(candidates.poses)[keep_rows])
+    )
+
+
+def make_obj_infos(matched_candidates) -> pd.DataFrame:
+    """Per-object score = Σ candidate scores (ref: multiview/ransac.py:119-125)."""
+    infos = matched_candidates.infos.loc[:, ["obj_id", "score", "label"]].copy()
+    gb = infos.groupby("obj_id")
+    infos["n_cand"] = gb["score"].transform(len).astype(np.int64)
+    infos["score"] = gb["score"].transform("sum")
+    return gb.first().reset_index(drop=False)
+
+
+def get_best_viewpair_pose_est(TC1C2, seeds, inliers):
+    best = inliers["best_hypotheses"]
+    infos = pd.DataFrame(
+        dict(view1=seeds["view1"][best], view2=seeds["view2"][best])
+    )
+    return PandasTensorCollection(infos, TC1C2=jnp.asarray(TC1C2[best]))
+
+
+def multiview_candidate_matching(
+    candidates: PandasTensorCollection,
+    mesh_db,
+    dist_threshold: float = 0.02,
+    cameras: PandasTensorCollection | None = None,
+    n_ransac_iter: int = 20,
+    n_min_inliers: int = 3,
+    seed: int = 0,
+):
+    """Orchestrator (ref: multiview/ransac.py:137-199).
+
+    candidates: PandasTensorCollection with infos[view_id, label, score] and
+    poses (N, 4, 4). cameras (optional, known poses): infos[view_id], TWC.
+    Returns dict(filtered_candidates, scene_infos, pairs_TC1C2, timings).
+    """
+    timer_models, timer_score, timer_misc = Timer(), Timer(), Timer()
+
+    known_poses = cameras is not None
+    if known_poses:
+        n_ransac_iter = 1
+
+    timer_misc.start()
+    candidates.infos["cand_id"] = np.arange(len(candidates))
+    label_codes = mesh_db.ids_for(candidates.infos["label"].values)
+    timer_misc.pause()
+
+    timer_models.start()
+    seeds, tmatches = matching_cext.make_ransac_infos(
+        np.asarray(candidates.infos["view_id"].values, np.int32),
+        np.asarray(label_codes, np.int32),
+        n_ransac_iter, seed,
+    )
+    if len(seeds["view1"]) == 0:
+        raise ValueError("No tentative matches across views")
+
+    if known_poses:
+        cam_infos = cameras.infos.copy()
+        cam_infos["idx"] = np.arange(len(cam_infos))
+        view_map = cam_infos.set_index("view_id")
+        TWC = np.asarray(cameras.TWC)
+        TWC1 = TWC[view_map.loc[seeds["view1"], "idx"].values]
+        TWC2 = TWC[view_map.loc[seeds["view2"], "idx"].values]
+        TC1C2 = np.asarray(invert_T(jnp.asarray(TWC1)) @ jnp.asarray(TWC2))
+    else:
+        TC1C2 = estimate_camera_poses_batch(candidates, seeds, mesh_db)
+    timer_models.pause()
+
+    timer_score.start()
+    dists = score_tmatches_batch(candidates, tmatches, TC1C2, mesh_db)
+    inliers = matching_cext.find_ransac_inliers(
+        seeds["view1"], seeds["view2"],
+        tmatches["hypothesis_id"], tmatches["cand1"], tmatches["cand2"],
+        dists, dist_threshold, n_min_inliers,
+    )
+    timer_score.pause()
+
+    timer_misc.resume()
+    pairs_TC1C2 = get_best_viewpair_pose_est(TC1C2, seeds, inliers)
+    filtered_candidates = scene_level_matching(candidates, inliers)
+    scene_infos = make_obj_infos(filtered_candidates)
+    timer_misc.pause()
+
+    return dict(
+        filtered_candidates=filtered_candidates,
+        scene_infos=scene_infos,
+        pairs_TC1C2=pairs_TC1C2,
+        time_models=timer_models.stop(),
+        time_score=timer_score.stop(),
+        time_misc=timer_misc.stop(),
+    )
