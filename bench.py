@@ -81,6 +81,9 @@ def cpu_baseline():
 def main():
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
     backend = jax.default_backend()
     fn, args = build(BATCH)
     value = measure(fn, args, REPS)
