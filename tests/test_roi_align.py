@@ -57,3 +57,17 @@ def test_deepim_boxes_aspect_ratio():
     np.testing.assert_allclose((boxes[0, 0] + boxes[0, 2]) / 2, 100.0, atol=1e-5)
     # contains the union box inflated: xdist=20 → width = max(20, 10*4/3)*2*1.4 = 56
     np.testing.assert_allclose(w, 56.0, atol=1e-4)
+
+
+def test_matmul_matches_gather_implementation():
+    from cosypose_tpu.ops.roi_align import roi_align_gather
+
+    rng = np.random.RandomState(1)
+    img = jnp.asarray(rng.uniform(size=(3, 3, 40, 56)).astype(np.float32))
+    boxes = jnp.asarray(
+        [[4.5, 3.2, 38.0, 30.7], [-6.0, 10.0, 60.0, 44.0], [0.0, 0.0, 56.0, 40.0]],
+        jnp.float32,
+    )
+    a = roi_align(img, boxes, output_size=(16, 24), sampling_ratio=4)
+    b = roi_align_gather(img, boxes, output_size=(16, 24), sampling_ratio=4)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
