@@ -1,0 +1,517 @@
+"""Evaluation meters: 6D pose errors (ADD / ADD-S / ADD(-S)) and detection mAP.
+
+Capability match for the reference's ``cosypose/evaluation/meters/``
+(pose_meters.py, detection_meters.py, utils.py): BOP-style top-n filtering by
+targets, valid-GT marking, sphere-overlap prefilter, per-object exact-mesh
+errors, diameter-relative threshold matching, greedy score-ordered 1-1
+matching, PoseCNN-style AUC, AP/mAP.
+
+TPU-first: error computation is one fixed-shape masked device kernel over ALL
+tentative matches at once (padded mesh points + validity masks) instead of the
+reference's per-candidate bsz=1 loop (ref: pose_meters.py:50-51,96-103);
+the match bookkeeping stays in pandas (not perf-critical).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..ops.transforms import transform_pts
+
+
+# ---------------------------------------------------------------------------
+# matching helpers (ref: evaluation/meters/utils.py)
+# ---------------------------------------------------------------------------
+
+
+def add_inst_num(infos, group_keys=("scene_id", "view_id", "label"),
+                 key="pred_inst_id"):
+    inst = np.zeros(len(infos), dtype=np.int64)
+    for _, ids in infos.groupby(list(group_keys)).groups.items():
+        inst[np.asarray(ids)] = np.arange(len(ids))
+    infos[key] = inst
+    return infos
+
+
+def get_top_n_ids(infos, group_keys=("scene_id", "view_id", "label"),
+                  top_key="score", n_top=-1, targets=None):
+    """Keep the top-n predictions per group; n from targets' inst_count when
+    provided (BOP protocol), else n_top, else all (ref: utils.py:32-65)."""
+    infos = infos.copy()
+    infos["_row"] = np.arange(len(infos))
+    targets_count = {}
+    if targets is not None:
+        for k, ids in targets.groupby(list(group_keys)).groups.items():
+            targets_count[k] = int(targets.loc[ids[0], "inst_count"])
+    keep = []
+    for k, ids in infos.groupby(list(group_keys)).groups.items():
+        group = infos.loc[ids].sort_values(top_key, ascending=False)
+        if n_top > 0:
+            top = n_top
+        elif targets is not None:
+            top = targets_count.get(k, 0)
+        else:
+            top = len(group)
+        keep.append(group["_row"].values[:top])
+    return np.concatenate(keep) if keep else np.asarray([], np.int64)
+
+
+def add_valid_gt(gt_infos, group_keys=("scene_id", "view_id", "label"),
+                 visib_gt_min=-1, targets=None):
+    if visib_gt_min > 0:
+        gt_infos["valid"] = gt_infos["visib_fract"] >= visib_gt_min
+        if targets is not None:
+            gt_infos["valid"] &= np.isin(gt_infos["label"], targets["label"])
+    elif targets is not None:
+        ids = get_top_n_ids(gt_infos, group_keys=group_keys,
+                            top_key="visib_fract", targets=targets)
+        gt_infos["valid"] = False
+        gt_infos.loc[gt_infos.index[ids], "valid"] = True
+    else:
+        gt_infos["valid"] = True
+    return gt_infos
+
+
+def match_poses(cand_infos, group_keys=("scene_id", "view_id", "label")):
+    """Greedy 1-1 matching: predictions in descending score order each take
+    their lowest-error unmatched GT (ref: utils.py:99-129)."""
+    matches = []
+    if len(cand_infos) == 0:
+        return cand_infos
+    for _, group in cand_infos.groupby(list(group_keys)):
+        gt_matched = set()
+        order = (
+            group.groupby("pred_id", sort=False)
+            .first()
+            .sort_values("score", ascending=False)
+            .index
+        )
+        for pred_id in order:
+            pg = group[group["pred_id"] == pred_id]
+            best_err, best_row = np.inf, None
+            for _, row in pg.iterrows():
+                if row["error"] < best_err and row["gt_id"] not in gt_matched:
+                    best_err, best_row = row["error"], row
+            if best_row is not None:
+                gt_matched.add(best_row["gt_id"])
+                matches.append(best_row)
+    return (pd.DataFrame(matches).reset_index(drop=True)
+            if matches else cand_infos.iloc[:0])
+
+
+def compute_auc_posecnn(errors):
+    """PoseCNN-style area under the accuracy-threshold curve up to 0.1m
+    (ref: utils.py:132-152, adapted from the YCB_Video matlab toolbox)."""
+    errors = np.asarray(errors, dtype=np.float64).copy()
+    d = np.sort(errors)
+    d[d > 0.1] = np.inf
+    acc = np.cumsum(np.ones(len(d))) / len(d)
+    finite = np.isfinite(d)
+    if len(d) == 0 or finite.sum() == 0:
+        return float("nan")
+    rec = d[finite]
+    prec = acc[finite]
+    mrec = np.concatenate(([0], rec, [0.1]))
+    mpre = np.concatenate(([0], prec, [prec[-1]]))
+    for i in range(1, len(mpre)):
+        mpre[i] = max(mpre[i], mpre[i - 1])
+    ids = np.where(mrec[1:] != mrec[:-1])[0] + 1
+    return float(((mrec[ids] - mrec[ids - 1]) * mpre[ids]).sum() * 10)
+
+
+# ---------------------------------------------------------------------------
+# device error kernels (fixed-shape, masked)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _add_errors_kernel(TXO_pred, TXO_gt, points, valid):
+    """ADD displacement stats over valid points → dict of (B, ...) arrays."""
+    d = transform_pts(TXO_gt, points) - transform_pts(TXO_pred, points)
+    w = valid.astype(d.dtype)
+    n = jnp.maximum(w.sum(-1), 1.0)
+    norm_avg = (jnp.linalg.norm(d, axis=-1) * w).sum(-1) / n
+    xyz_avg = (jnp.abs(d) * w[..., None]).sum(-2) / n[..., None]
+    t_d = TXO_pred[:, :3, 3] - TXO_gt[:, :3, 3]
+    return dict(
+        norm_avg=norm_avg,
+        xyz_avg=xyz_avg,
+        TCO_xyz=jnp.abs(t_d),
+        TCO_norm=jnp.linalg.norm(t_d, axis=-1),
+    )
+
+
+@jax.jit
+def _adds_errors_kernel(TXO_pred, TXO_gt, points, valid):
+    """ADD-S: for each valid GT point, displacement to the nearest valid
+    predicted point (ref: lib3d/distances.py:12-24)."""
+    gt_pts = transform_pts(TXO_gt, points)
+    pred_pts = transform_pts(TXO_pred, points)
+    diff = gt_pts[:, :, None] - pred_pts[:, None, :]  # (B, Pgt, Ppred, 3)
+    d2 = (diff**2).sum(-1)
+    d2 = jnp.where(valid[:, None, :], d2, jnp.inf)  # invalid pred cols
+    assign = jnp.argmin(d2, axis=2)
+    d = jnp.take_along_axis(diff, assign[..., None, None], axis=2)[:, :, 0]
+    w = valid.astype(d.dtype)
+    n = jnp.maximum(w.sum(-1), 1.0)
+    norm_avg = (jnp.linalg.norm(d, axis=-1) * w).sum(-1) / n
+    xyz_avg = (jnp.abs(d) * w[..., None]).sum(-2) / n[..., None]
+    t_d = TXO_pred[:, :3, 3] - TXO_gt[:, :3, 3]
+    return dict(
+        norm_avg=norm_avg,
+        xyz_avg=xyz_avg,
+        TCO_xyz=jnp.abs(t_d),
+        TCO_norm=jnp.linalg.norm(t_d, axis=-1),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PoseErrorMeter
+# ---------------------------------------------------------------------------
+
+
+class PoseErrorMeter:
+    def __init__(self, mesh_db, error_type="ADD", report_AP=False,
+                 report_error_AUC=False, report_error_stats=False,
+                 sample_n_points=None, match_threshold=0.1,
+                 spheres_overlap_check=True, consider_all_predictions=False,
+                 targets=None, visib_gt_min=-1, n_top=-1):
+        self.mesh_db = mesh_db
+        self.error_type = error_type.upper()
+        self.n_top = n_top
+        self.visib_gt_min = visib_gt_min
+        self.targets = targets
+        self.match_threshold = match_threshold
+        self.spheres_overlap_check = spheres_overlap_check
+        self.consider_all_predictions = consider_all_predictions
+        self.report_AP = report_AP
+        self.report_error_stats = report_error_stats
+        self.report_error_AUC = report_error_AUC
+        self.sample_n_points = sample_n_points
+        self.reset()
+
+    def reset(self):
+        self.gt_frames = []
+        self.pred_frames = []
+        self.match_frames = []
+
+    def is_symmetric(self, label):
+        return self.mesh_db.infos[label].get("n_sym", 1) > 1
+
+    def compute_errors_batch(self, TXO_pred, TXO_gt, labels):
+        """Vectorized masked errors for all candidates at once."""
+        if len(labels) == 0:
+            return dict(
+                norm_avg=np.zeros(0), xyz_avg=np.zeros((0, 3)),
+                TCO_xyz=np.zeros((0, 3)), TCO_norm=np.zeros(0),
+            )
+        label_ids = self.mesh_db.ids_for(labels)
+        points = jnp.take(self.mesh_db.points, label_ids, axis=0)
+        valid = jnp.take(self.mesh_db.valid, label_ids, axis=0)
+        if self.sample_n_points is not None:
+            P = min(self.sample_n_points, points.shape[1])
+            rng = np.random.RandomState(0)
+            ids = jnp.asarray(rng.choice(points.shape[1], P, replace=False))
+            points = jnp.take(points, ids, axis=1)
+            valid = jnp.take(valid, ids, axis=1)
+        TXO_pred = jnp.asarray(TXO_pred, jnp.float32)
+        TXO_gt = jnp.asarray(TXO_gt, jnp.float32)
+
+        if self.error_type == "ADD":
+            errors = _add_errors_kernel(TXO_pred, TXO_gt, points, valid)
+        elif self.error_type == "ADD-S":
+            errors = _adds_errors_kernel(TXO_pred, TXO_gt, points, valid)
+        elif self.error_type == "ADD(-S)":
+            sym = np.asarray([self.is_symmetric(l) for l in labels])
+            e_add = _add_errors_kernel(TXO_pred, TXO_gt, points, valid)
+            e_adds = _adds_errors_kernel(TXO_pred, TXO_gt, points, valid)
+            errors = {
+                k: jnp.where(
+                    jnp.asarray(sym).reshape((-1,) + (1,) * (e_add[k].ndim - 1)),
+                    e_adds[k], e_add[k],
+                )
+                for k in e_add
+            }
+        else:
+            raise ValueError(self.error_type)
+        return {k: np.asarray(v) for k, v in errors.items()}
+
+    def add(self, pred_data, gt_data):
+        """pred_data/gt_data: PandasTensorCollection with infos[scene_id,
+        view_id, label(, score/visib_fract)] and poses (ref: pose_meters.py:116-228).
+        """
+        group_keys = ["scene_id", "view_id", "label"]
+        pred_infos = pred_data.infos.copy().reset_index(drop=True)
+        gt_infos = gt_data.infos.copy().reset_index(drop=True)
+        pred_poses = np.asarray(pred_data.poses, np.float64)
+        gt_poses = np.asarray(gt_data.poses, np.float64)
+
+        # restrict predictions to the GT's frames
+        frames = gt_infos.loc[:, ["scene_id", "view_id"]].drop_duplicates()
+        targets = self.targets
+        if targets is not None:
+            targets = frames.merge(targets)
+        pred_infos["batch_pred_id"] = np.arange(len(pred_infos))
+        keep = frames.merge(pred_infos)["batch_pred_id"].values
+        pred_infos = pred_infos.iloc[keep].reset_index(drop=True)
+        pred_poses = pred_poses[keep]
+
+        pred_infos = add_inst_num(pred_infos, key="pred_inst_id")
+        gt_infos = add_inst_num(gt_infos, key="gt_inst_id")
+
+        if not self.consider_all_predictions:
+            top = get_top_n_ids(pred_infos, top_key="score", targets=targets,
+                                n_top=self.n_top)
+            pred_f_infos = pred_infos.iloc[top].reset_index(drop=True)
+            pred_f_poses = pred_poses[top]
+        else:
+            pred_f_infos = pred_infos
+            pred_f_poses = pred_poses
+
+        gt_infos = add_valid_gt(gt_infos, visib_gt_min=self.visib_gt_min,
+                                targets=targets)
+
+        # tentative candidates: same (scene, view, label), valid GT only
+        pred_f_infos = pred_f_infos.copy()
+        pred_f_infos["pred_id"] = np.arange(len(pred_f_infos))
+        gt_infos["gt_id"] = np.arange(len(gt_infos))
+        cand = pred_f_infos.merge(gt_infos, on=group_keys, suffixes=("", "_gt"))
+        cand = cand[cand["valid"]].reset_index(drop=True)
+
+        if self.spheres_overlap_check and len(cand):
+            diam = np.asarray(
+                [self.mesh_db.infos[l]["diameter_m"] for l in cand["label"]]
+            )
+            d = np.linalg.norm(
+                pred_f_poses[cand["pred_id"].values][:, :3, 3]
+                - gt_poses[cand["gt_id"].values][:, :3, 3],
+                axis=-1,
+            )
+            cand = cand[d < diam].reset_index(drop=True)
+
+        cand["cand_id"] = np.arange(len(cand))
+        errors = self.compute_errors_batch(
+            pred_f_poses[cand["pred_id"].values],
+            gt_poses[cand["gt_id"].values],
+            cand["label"].values,
+        )
+        cand["error"] = errors["norm_avg"]
+        cand["obj_diameter"] = [
+            self.mesh_db.infos[l]["diameter_m"] for l in cand["label"]
+        ]
+        cand = cand[
+            cand["error"] <= self.match_threshold * cand["obj_diameter"]
+        ].reset_index(drop=True)
+
+        matches = match_poses(cand)
+
+        # bookkeeping frames
+        gt_rec = gt_infos.loc[:, group_keys + ["gt_inst_id", "valid"]
+                              + (["visib_fract"] if "visib_fract" in gt_infos else [])]
+        pred_rec = pred_infos.loc[:, group_keys + ["pred_inst_id", "score"]]
+        if len(matches):
+            m = matches.loc[:, group_keys + ["pred_inst_id", "gt_inst_id",
+                                             "error", "obj_diameter", "score"]]
+            m = m.rename(columns={"error": "norm"})
+            m["0.1d"] = m["norm"] < 0.1 * m["obj_diameter"]
+        else:
+            m = pd.DataFrame(
+                columns=group_keys + ["pred_inst_id", "gt_inst_id", "norm",
+                                      "obj_diameter", "score", "0.1d"]
+            )
+        # annotate gt rows with their match's error (inf when unmatched)
+        gt_rec = gt_rec.merge(
+            m.loc[:, group_keys + ["gt_inst_id", "norm", "0.1d"]],
+            on=group_keys + ["gt_inst_id"], how="left",
+        )
+        gt_rec["norm"] = gt_rec["norm"].fillna(np.inf)
+        gt_rec["0.1d"] = gt_rec["0.1d"].fillna(False).astype(bool)
+        pred_rec = pred_rec.merge(
+            m.loc[:, group_keys + ["pred_inst_id", "0.1d"]],
+            on=group_keys + ["pred_inst_id"], how="left",
+        )
+        pred_rec["0.1d"] = pred_rec["0.1d"].fillna(False).astype(bool)
+
+        self.gt_frames.append(gt_rec)
+        self.pred_frames.append(pred_rec)
+        self.match_frames.append(m)
+
+    def gather_distributed(self, *a, **k):
+        return self  # single-controller JAX: all shards already local
+
+    def summary(self):
+        gt_df = pd.concat(self.gt_frames, ignore_index=True) if self.gt_frames else pd.DataFrame()
+        pred_df = pd.concat(self.pred_frames, ignore_index=True) if self.pred_frames else pd.DataFrame()
+        matches_df = pd.concat(self.match_frames, ignore_index=True) if self.match_frames else pd.DataFrame()
+
+        valid_df = gt_df[gt_df["valid"]] if len(gt_df) else gt_df
+        AUC = OrderedDict()
+        for label, g in valid_df.groupby("label"):
+            AUC[label] = compute_auc_posecnn(g["norm"].values)
+
+        # n_gt per label under the top-n protocol
+        n_gts = {}
+        if self.n_top > 0:
+            sub = (
+                gt_df.groupby(["scene_id", "view_id", "label"])["valid"]
+                .sum().reset_index()
+            )
+            sub["gt_count"] = np.minimum(self.n_top, sub["valid"])
+            for label, g in sub.groupby("label"):
+                n_gts[label] = int(g["gt_count"].sum())
+        else:
+            for label, g in gt_df.groupby("label"):
+                n_gts[label] = int(g["valid"].sum())
+
+        def compute_ap(df, n_gt):
+            df = df.sort_values("score", ascending=False).reset_index(drop=True)
+            y = df["0.1d"].values.astype(np.float64)
+            tp = np.cumsum(y)
+            prec = tp / (np.arange(len(df)) + 1)
+            rec = tp / max(n_gt, 1)
+            # standard AP integration over the PR curve
+            ap = 0.0
+            prev_r = 0.0
+            for p, r in zip(prec, rec):
+                ap += p * max(r - prev_r, 0.0)
+                prev_r = r
+            return ap
+
+        ap_per_label = {}
+        for label, n_gt in n_gts.items():
+            ldf = pred_df[pred_df["label"] == label]
+            if len(ldf) and ldf["0.1d"].sum() > 0 and n_gt > 0:
+                ap_per_label[label] = compute_ap(ldf, n_gt)
+        mAP = float(np.mean(list(ap_per_label.values()))) if ap_per_label else 0.0
+        AP = (compute_ap(pred_df, sum(n_gts.values()))
+              if len(pred_df) and sum(n_gts.values()) > 0 else 0.0)
+
+        n_gt_valid = int(sum(n_gts.values()))
+        summary = {
+            "n_gt": int(len(gt_df)),
+            "n_gt_valid": n_gt_valid,
+            "n_pred": int(len(pred_df)),
+            "n_matched": int(len(matches_df)),
+            "matched_gt_ratio": len(matches_df) / max(n_gt_valid, 1),
+            "0.1d": float(valid_df["0.1d"].sum()) / max(n_gt_valid, 1),
+        }
+        if self.report_error_stats and len(matches_df):
+            summary["norm"] = float(matches_df["norm"].mean())
+        if self.report_AP:
+            summary.update(AP=AP, mAP=mAP)
+        if self.report_error_AUC:
+            vals = [v for v in AUC.values() if not np.isnan(v)]
+            summary["AUC/objects/mean"] = float(np.mean(vals)) if vals else float("nan")
+            summary["AUC"] = compute_auc_posecnn(valid_df["norm"].values)
+        dfs = dict(gt=gt_df, matches=matches_df, preds=pred_df,
+                   auc_per_object=AUC)
+        return summary, dfs
+
+
+# ---------------------------------------------------------------------------
+# DetectionMeter (ref: evaluation/meters/detection_meters.py — IoU@th AP/mAP)
+# ---------------------------------------------------------------------------
+
+
+def box_iou(a, b):
+    """a (N,4), b (M,4) → IoU (N,M)."""
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    union = area_a[:, None] + area_b[None, :] - inter
+    return inter / np.maximum(union, 1e-9)
+
+
+class DetectionMeter:
+    def __init__(self, iou_threshold=0.5, targets=None, visib_gt_min=-1,
+                 n_top=-1, consider_all_predictions=False):
+        self.iou_threshold = iou_threshold
+        self.targets = targets
+        self.visib_gt_min = visib_gt_min
+        self.n_top = n_top
+        self.consider_all_predictions = consider_all_predictions
+        self.reset()
+
+    def reset(self):
+        self.pred_frames = []
+        self.gt_frames = []
+
+    def add(self, pred_data, gt_data):
+        group_keys = ["scene_id", "view_id", "label"]
+        pred_infos = pred_data.infos.copy().reset_index(drop=True)
+        gt_infos = gt_data.infos.copy().reset_index(drop=True)
+        pred_boxes = np.asarray(pred_data.bboxes, np.float64)
+        gt_boxes = np.asarray(gt_data.bboxes, np.float64)
+
+        gt_infos = add_valid_gt(gt_infos, visib_gt_min=self.visib_gt_min,
+                                targets=self.targets)
+        pred_infos["matched"] = False
+        gt_infos["matched"] = False
+
+        for key, gids in gt_infos.groupby(group_keys).groups.items():
+            pids = pred_infos.groupby(group_keys).groups.get(key)
+            if pids is None:
+                continue
+            gids = np.asarray(gids)
+            pids = np.asarray(pids)
+            valid_g = gt_infos.loc[gids, "valid"].values
+            iou = box_iou(pred_boxes[pids], gt_boxes[gids])
+            order = np.argsort(-pred_infos.loc[pids, "score"].values)
+            taken = np.zeros(len(gids), bool)
+            for oi in order:
+                best, best_iou = -1, self.iou_threshold
+                for gj in range(len(gids)):
+                    if taken[gj] or not valid_g[gj]:
+                        continue
+                    if iou[oi, gj] >= best_iou:
+                        best, best_iou = gj, iou[oi, gj]
+                if best >= 0:
+                    taken[best] = True
+                    pred_infos.loc[pids[oi], "matched"] = True
+                    gt_infos.loc[gids[best], "matched"] = True
+
+        self.pred_frames.append(pred_infos)
+        self.gt_frames.append(gt_infos)
+
+    def gather_distributed(self, *a, **k):
+        return self
+
+    def summary(self):
+        pred_df = pd.concat(self.pred_frames, ignore_index=True) if self.pred_frames else pd.DataFrame()
+        gt_df = pd.concat(self.gt_frames, ignore_index=True) if self.gt_frames else pd.DataFrame()
+        n_gt = {l: int(g["valid"].sum()) for l, g in gt_df.groupby("label")}
+
+        def compute_ap(df, n):
+            df = df.sort_values("score", ascending=False)
+            y = df["matched"].values.astype(np.float64)
+            tp = np.cumsum(y)
+            prec = tp / (np.arange(len(df)) + 1)
+            rec = tp / max(n, 1)
+            ap, prev = 0.0, 0.0
+            for p, r in zip(prec, rec):
+                ap += p * max(r - prev, 0.0)
+                prev = r
+            return ap
+
+        aps = {
+            l: compute_ap(pred_df[pred_df["label"] == l], n)
+            for l, n in n_gt.items()
+            if n > 0 and (pred_df["label"] == l).any()
+        }
+        summary = dict(
+            n_gt=int(gt_df["valid"].sum()) if len(gt_df) else 0,
+            n_pred=int(len(pred_df)),
+            recall=(float(gt_df[gt_df["valid"]]["matched"].mean())
+                    if len(gt_df) and gt_df["valid"].any() else 0.0),
+            AP=compute_ap(pred_df, sum(n_gt.values())) if len(pred_df) else 0.0,
+            mAP=float(np.mean(list(aps.values()))) if aps else 0.0,
+        )
+        return summary, dict(preds=pred_df, gt=gt_df, ap_per_label=aps)

@@ -1,0 +1,184 @@
+import numpy as np
+import jax.numpy as jnp
+import pandas as pd
+
+from cosypose_tpu.evaluation import (
+    PoseErrorMeter,
+    DetectionMeter,
+    compute_auc_posecnn,
+)
+from cosypose_tpu.evaluation.bop_export import predictions_to_bop_csv, csv_to_candidates
+from cosypose_tpu.ops.mesh_db import build_mesh_db
+from cosypose_tpu.utils.tensor_collection import PandasTensorCollection
+from tests.test_pose_predictor import cube_specs
+
+
+def make_db():
+    db = build_mesh_db(cube_specs(), keep_geometry=False)
+    for label in db.infos:
+        db.infos[label]["diameter_m"] = 0.18
+    return db
+
+
+def eye4(n):
+    return np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+
+
+def make_tc(rows, poses):
+    return PandasTensorCollection(pd.DataFrame(rows), poses=jnp.asarray(poses))
+
+
+def test_auc_posecnn_known_values():
+    # all errors zero → AUC 1
+    assert abs(compute_auc_posecnn(np.zeros(10)) - 1.0) < 1e-3
+    # all errors above 0.1 → nan
+    assert np.isnan(compute_auc_posecnn(np.full(5, 0.5)))
+    # error at exactly 0.05 for all → accuracy 1 beyond 0.05 → AUC = 0.5
+    auc = compute_auc_posecnn(np.full(100, 0.05))
+    assert abs(auc - 0.5) < 0.02
+
+
+def test_pose_meter_perfect_predictions():
+    db = make_db()
+    poses = eye4(2)
+    poses[:, 2, 3] = 0.5
+    gt = make_tc(
+        [
+            dict(scene_id=1, view_id=1, label="obj_000001", visib_fract=1.0),
+            dict(scene_id=1, view_id=1, label="obj_000002", visib_fract=1.0),
+        ],
+        poses,
+    )
+    pred = make_tc(
+        [
+            dict(scene_id=1, view_id=1, label="obj_000001", score=0.9),
+            dict(scene_id=1, view_id=1, label="obj_000002", score=0.8),
+        ],
+        poses.copy(),
+    )
+    meter = PoseErrorMeter(db, error_type="ADD", report_error_AUC=True,
+                           report_AP=True)
+    meter.add(pred, gt)
+    summary, dfs = meter.summary()
+    assert summary["n_gt_valid"] == 2
+    assert summary["n_matched"] == 2
+    assert summary["0.1d"] == 1.0
+    assert abs(summary["AUC"] - 1.0) < 1e-3
+    assert summary["AP"] > 0.99
+
+
+def test_pose_meter_bad_prediction_unmatched():
+    db = make_db()
+    gt_poses = eye4(1)
+    gt_poses[:, 2, 3] = 0.5
+    bad = gt_poses.copy()
+    bad[:, 0, 3] += 0.5  # half a meter off → outside 0.1*diameter and sphere
+    gt = make_tc([dict(scene_id=1, view_id=1, label="obj_000001",
+                       visib_fract=1.0)], gt_poses)
+    pred = make_tc([dict(scene_id=1, view_id=1, label="obj_000001",
+                         score=0.9)], bad)
+    meter = PoseErrorMeter(db, error_type="ADD")
+    meter.add(pred, gt)
+    summary, _ = meter.summary()
+    assert summary["n_matched"] == 0
+    assert summary["0.1d"] == 0.0
+
+
+def test_pose_meter_adds_symmetric():
+    """A rotated symmetric object matches under ADD-S but not ADD."""
+    db = make_db()
+    angles = 2 * np.pi / 4
+    R = np.array(
+        [[np.cos(angles), -np.sin(angles), 0],
+         [np.sin(angles), np.cos(angles), 0], [0, 0, 1]], np.float32
+    )
+    gt_poses = eye4(1)
+    gt_poses[:, 2, 3] = 0.5
+    pred_poses = gt_poses.copy()
+    pred_poses[0, :3, :3] = R
+
+    gt_rows = [dict(scene_id=1, view_id=1, label="obj_000001", visib_fract=1.0)]
+    pred_rows = [dict(scene_id=1, view_id=1, label="obj_000001", score=0.9)]
+    m_add = PoseErrorMeter(db, error_type="ADD")
+    m_add.add(make_tc(pred_rows, pred_poses), make_tc(gt_rows, gt_poses))
+    m_adds = PoseErrorMeter(db, error_type="ADD-S")
+    m_adds.add(make_tc(pred_rows, pred_poses), make_tc(gt_rows, gt_poses))
+    s_add, _ = m_add.summary()
+    s_adds, _ = m_adds.summary()
+    # cube rotated 90° about z maps corners onto corners → ADD-S ≈ 0
+    assert s_adds["0.1d"] == 1.0
+    assert s_add["0.1d"] == 0.0
+
+
+def test_pose_meter_top_n_targets():
+    db = make_db()
+    poses = eye4(3)
+    poses[:, 2, 3] = 0.5
+    gt = make_tc(
+        [dict(scene_id=1, view_id=1, label="obj_000001", visib_fract=1.0)],
+        poses[:1],
+    )
+    # three predictions of the same object; targets say inst_count=1
+    pred = make_tc(
+        [
+            dict(scene_id=1, view_id=1, label="obj_000001", score=s)
+            for s in (0.9, 0.8, 0.7)
+        ],
+        poses,
+    )
+    targets = pd.DataFrame(
+        [dict(scene_id=1, view_id=1, label="obj_000001", inst_count=1)]
+    )
+    meter = PoseErrorMeter(db, error_type="ADD", targets=targets)
+    meter.add(pred, gt)
+    summary, _ = meter.summary()
+    assert summary["n_matched"] == 1
+
+
+def test_detection_meter():
+    gt = PandasTensorCollection(
+        pd.DataFrame(
+            [
+                dict(scene_id=1, view_id=1, label="a", visib_fract=1.0),
+                dict(scene_id=1, view_id=1, label="b", visib_fract=1.0),
+            ]
+        ),
+        bboxes=jnp.asarray([[0, 0, 10, 10], [20, 20, 40, 40]], jnp.float32),
+    )
+    pred = PandasTensorCollection(
+        pd.DataFrame(
+            [
+                dict(scene_id=1, view_id=1, label="a", score=0.9),
+                dict(scene_id=1, view_id=1, label="b", score=0.8),
+                dict(scene_id=1, view_id=1, label="b", score=0.7),
+            ]
+        ),
+        bboxes=jnp.asarray(
+            [[1, 0, 10, 10], [21, 20, 40, 40], [100, 100, 120, 120]],
+            jnp.float32,
+        ),
+    )
+    meter = DetectionMeter(iou_threshold=0.5)
+    meter.add(pred, gt)
+    summary, _ = meter.summary()
+    assert summary["recall"] == 1.0
+    assert summary["n_pred"] == 3
+    assert 0.5 < summary["mAP"] <= 1.0
+
+
+def test_bop_csv_roundtrip(tmp_path):
+    poses = eye4(2)
+    poses[0, :3, 3] = [0.1, -0.2, 0.9]
+    tc = make_tc(
+        [
+            dict(scene_id=3, view_id=7, label="obj_000002", score=0.5),
+            dict(scene_id=3, view_id=8, label="obj_000001", score=0.25),
+        ],
+        poses,
+    )
+    path = tmp_path / "preds.csv"
+    predictions_to_bop_csv(tc, path)
+    df, poses2 = csv_to_candidates(path)
+    assert list(df["scene_id"]) == [3, 3]
+    assert list(df["label"]) == ["obj_000002", "obj_000001"]
+    np.testing.assert_allclose(poses2, poses, atol=1e-6)
