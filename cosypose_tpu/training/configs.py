@@ -1,0 +1,88 @@
+"""Named training configurations.
+
+Capability match for the reference's de-facto flag system
+(ref: cosypose/scripts/run_pose_training.py:11-195): an argparse-style named
+config string resolves to a full hyperparameter set. Key defaults mirror the
+reference: lr 3e-4, batch 32/device, epoch_size 115200, 700 epochs, warmup 50,
+lr/10 every 500 epochs, grad clip 0.5, n_pose_dims 9, n_points_loss 2600,
+coarse input 'fixed'/'fixed+trans_noise', refiner input 'gt+noise'.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from ..models.pose_predictor import PosePredictorConfig
+from .pose_training import PoseTrainConfig
+
+
+@dataclasses.dataclass
+class RunConfig:
+    run_id: str
+    train: PoseTrainConfig
+    train_ds_names: tuple = ()
+    val_ds_names: tuple = ()
+    object_ds_name: str = ""
+    n_dataloader_workers: int = 8
+    val_epoch_interval: int = 10
+    test_epoch_interval: int = 30
+    save_epoch_interval: int = 1
+
+
+# BOP dataset training configs are generated from this table
+# (ref: cosypose/bop_config.py + run_pose_training.py:73-104)
+_BOP_DS = ("lm", "lmo", "tless", "tudl", "icbin", "itodd", "hb", "ycbv")
+
+
+def make_cfg(config_name: str, debug: bool = False) -> RunConfig:
+    predictor = PosePredictorConfig(backbone="efficientnet-b3")
+    train = PoseTrainConfig(predictor=predictor)
+
+    def base(run_id, **kw):
+        t = dataclasses.replace(train, **kw)
+        return RunConfig(run_id=run_id, train=t)
+
+    if config_name == "tless-coarse":
+        cfg = base("tless-coarse", input_generator="fixed", n_iterations=1)
+        cfg.train_ds_names = (("synthetic.tless-1M.train", 1),
+                              ("tless.primesense.train", 5))
+        cfg.object_ds_name = "tless.cad"
+    elif config_name == "tless-refiner":
+        cfg = base("tless-refiner", input_generator="gt+noise", n_iterations=3)
+        cfg.train_ds_names = (("synthetic.tless-1M.train", 1),
+                              ("tless.primesense.train", 5))
+        cfg.object_ds_name = "tless.cad"
+    elif config_name == "ycbv-refiner-syntonly":
+        cfg = base("ycbv-refiner-syntonly", input_generator="gt+noise",
+                   n_iterations=3)
+        cfg.train_ds_names = (("synthetic.ycbv-1M.train", 1),)
+        cfg.object_ds_name = "ycbv.bop-compat"
+    elif config_name == "ycbv-refiner-finetune":
+        cfg = base("ycbv-refiner-finetune", input_generator="gt+noise",
+                   n_iterations=3)
+        cfg.train_ds_names = (("synthetic.ycbv-1M.train", 1),
+                              ("ycbv.train.synt.real", 3))
+        cfg.object_ds_name = "ycbv.bop-compat"
+    elif config_name.startswith("bop-"):
+        # bop-<ds>-{pbr|synt+real}-{coarse|refiner}
+        parts = config_name.split("-")
+        ds, data, kind = parts[1], parts[2], parts[3]
+        assert ds in _BOP_DS, ds
+        if kind == "coarse":
+            cfg = base(config_name, input_generator="fixed+trans_noise",
+                       n_iterations=1)
+        else:
+            cfg = base(config_name, input_generator="gt+noise", n_iterations=3)
+        split = "train.pbr" if data == "pbr" else "train.synt.real"
+        cfg.train_ds_names = ((f"{ds}.{split}", 1),)
+        cfg.object_ds_name = f"{ds}.models"
+    else:
+        raise ValueError(f"Unknown config {config_name}")
+
+    if debug:
+        cfg.train = dataclasses.replace(
+            cfg.train, n_epochs=4, batch_size=4, epoch_size=16,
+            n_epochs_warmup=1,
+        )
+        cfg.n_dataloader_workers = 0
+    return cfg

