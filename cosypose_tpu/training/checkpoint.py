@@ -69,13 +69,24 @@ def load_checkpoint(path):
 
 
 def restore_into_state(state, payload):
-    """Rebuild a TrainState from a restored payload (shapes must match)."""
+    """Rebuild a TrainState from a restored payload (shapes must match).
+
+    Orbax restores containers as plain dicts/lists; re-impose each template's
+    pytree structure (optax states are NamedTuples) by unflattening the
+    restored leaves into the template treedef.
+    """
     import jax.numpy as jnp
 
     def like(template, value):
-        return jax.tree.map(
-            lambda t, v: jnp.asarray(v, getattr(t, "dtype", None)), template, value
-        )
+        leaves = jax.tree.leaves(value)
+        treedef = jax.tree.structure(template)
+        t_leaves = jax.tree.leaves(template)
+        assert len(leaves) == len(t_leaves), (len(leaves), len(t_leaves))
+        leaves = [
+            jnp.asarray(v, getattr(t, "dtype", None))
+            for t, v in zip(t_leaves, leaves)
+        ]
+        return jax.tree.unflatten(treedef, leaves)
 
     return state.replace(
         params=like(state.params, payload["params"]),
