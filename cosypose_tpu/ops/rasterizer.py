@@ -204,37 +204,42 @@ def rasterize(
         # absolute pixel coordinates of this tile
         x = tile_x0[t] + px  # (tw,)
         y = tile_y0[t] + py  # (th,)
+        xe = x[None, None, :, None]
+        ye = y[None, :, None, None]
 
-        # barycentric planes evaluated on the tile: (B, th, tw, Kcap, 3)
-        lam = (
-            lam_a[:, None, None] * x[None, None, :, None, None]
-            + lam_b[:, None, None] * y[None, :, None, None, None]
-            + lam_c[:, None, None]
-        )
-        inside = (lam >= -1e-6).all(axis=-1) & ok_t[:, None, None, :]  # (B,th,tw,K)
+        # three barycentric planes evaluated on the tile, each (B, th, tw, K)
+        # — kept as separate elementwise chains so XLA fuses them into one
+        # VPU pass; no (..., 3)-stacked intermediate
+        lam0 = lam_a[:, None, None, :, 0] * xe + lam_b[:, None, None, :, 0] * ye + lam_c[:, None, None, :, 0]
+        lam1 = lam_a[:, None, None, :, 1] * xe + lam_b[:, None, None, :, 1] * ye + lam_c[:, None, None, :, 1]
+        lam2 = lam_a[:, None, None, :, 2] * xe + lam_b[:, None, None, :, 2] * ye + lam_c[:, None, None, :, 2]
+        inside = (
+            (lam0 >= -1e-6) & (lam1 >= -1e-6) & (lam2 >= -1e-6)
+            & ok_t[:, None, None, :]
+        )  # (B, th, tw, K)
 
         izv = (
-            iz_abc[:, None, None, :, 0] * x[None, None, :, None]
-            + iz_abc[:, None, None, :, 1] * y[None, :, None, None]
+            iz_abc[:, None, None, :, 0] * xe
+            + iz_abc[:, None, None, :, 1] * ye
             + iz_abc[:, None, None, :, 2]
-        )  # (B, th, tw, Kcap)
+        )  # (B, th, tw, K)
         izv = jnp.where(inside & (izv > 0), izv, 0.0)
-        winner = jnp.argmax(izv, axis=-1)  # nearest surface (max 1/z)
-        iz_win = jnp.take_along_axis(izv, winner[..., None], axis=-1)[..., 0]
+        iz_win = jnp.max(izv, axis=-1)  # nearest surface (max 1/z)
         hit = iz_win > 0
 
-        wsel = lambda arr: jnp.take_along_axis(
-            arr, winner.reshape(winner.shape[0], 1, 1, -1, 1), axis=3
-        ).reshape(winner.shape + (3,))
-        # winner's color planes: (B, th, tw, 3)
-        wca = wsel(col_a[:, None, None])
-        wcb = wsel(col_b[:, None, None])
-        wcc = wsel(col_c[:, None, None])
-        colz = (
-            wca * x[None, None, :, None]
-            + wcb * y[None, :, None, None]
-            + wcc
-        )
+        # winner selection WITHOUT gathers: exclusive one-hot over K, then the
+        # color-plane coefficients of the winner come out of one K-contraction
+        # (MXU) — colz = x·selA + y·selB + selC since the planes are affine
+        eq = (izv == iz_win[..., None]) & hit[..., None]
+        first = (jnp.cumsum(eq, axis=-1) == 1) & eq  # break ties: first winner
+        w = first.astype(izv.dtype)  # (B, th, tw, K)
+        B = w.shape[0]
+        wf = w.reshape(B, -1, w.shape[-1])  # (B, th*tw, K)
+        selA = jnp.matmul(wf, col_a).reshape(w.shape[:3] + (3,))
+        selB = jnp.matmul(wf, col_b).reshape(w.shape[:3] + (3,))
+        selC = jnp.matmul(wf, col_c).reshape(w.shape[:3] + (3,))
+        colz = selA * xe[..., 0:1] + selB * ye[..., 0:1] + selC
+
         rgb = jnp.where(
             hit[..., None], colz / jnp.maximum(iz_win[..., None], 1e-12), 0.0
         )
