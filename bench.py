@@ -54,14 +54,18 @@ def build(B):
 
 
 def measure(fn, args, reps):
-    out = fn(*args)
-    out.block_until_ready()  # compile + warmup
-    out = fn(*args)
-    out.block_until_ready()
+    import jax
+    import jax.numpy as jnp
+
+    # warmup (compile) + one full host readback
+    float(jnp.asarray(fn(*args)).sum())
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    out.block_until_ready()
+    outs = [fn(*args) for _ in range(reps)]
+    for o in outs:
+        jax.block_until_ready(o)
+    # force true completion with a device->host readback of the last result
+    # (block_until_ready alone returns early on the tunneled axon backend)
+    float(jnp.asarray(outs[-1]).sum())
     dt = time.perf_counter() - t0
     return reps * args[1].shape[0] * N_ITER / dt
 

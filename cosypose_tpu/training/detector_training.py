@@ -1,0 +1,148 @@
+"""Detector training: CenterNet losses + jitted DP train step.
+
+Capability match for the reference's ``cosypose/training/train_detector.py`` +
+``maskrcnn_forward_loss.py`` (weighted multi-term detection loss, Adam/SGD,
+same schedule skeleton as pose training). The loss terms map MaskRCNN's five
+(rpn box/objectness, box reg, classifier, mask) onto the CenterNet heads:
+center focal loss (classification+objectness), L1 on width/height and center
+offset (box regression), and BCE on instance masks (mask head).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.detector import CenterNetDetector, DetectorConfig
+from .pose_training import TrainState, lr_schedule, PoseTrainConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorTrainConfig:
+    detector: DetectorConfig = DetectorConfig()
+    lr: float = 2e-4
+    n_epochs_warmup: int = 5
+    lr_epoch_decay: int = 100
+    clip_grad_norm: float = 10.0
+    batch_size: int = 16
+    epoch_size: int = 115200
+    n_epochs: int = 200
+    # loss weights (the reference weights its 5 maskrcnn terms equally,
+    # ref: maskrcnn_forward_loss.py:21-25)
+    w_heatmap: float = 1.0
+    w_wh: float = 0.1
+    w_offset: float = 1.0
+    w_mask: float = 1.0
+
+
+def focal_loss(logits, targets, alpha=2.0, beta=4.0):
+    """CenterNet penalty-reduced pixelwise focal loss."""
+    p = jax.nn.sigmoid(logits)
+    pos = (targets >= 1.0 - 1e-6).astype(logits.dtype)
+    neg_w = jnp.power(1.0 - targets, beta)
+    eps = 1e-7
+    pos_loss = -jnp.log(jnp.clip(p, eps, 1.0)) * jnp.power(1 - p, alpha) * pos
+    neg_loss = (
+        -jnp.log(jnp.clip(1 - p, eps, 1.0))
+        * jnp.power(p, alpha)
+        * neg_w
+        * (1 - pos)
+    )
+    n_pos = jnp.maximum(pos.sum(), 1.0)
+    return (pos_loss.sum() + neg_loss.sum()) / n_pos
+
+
+def detector_loss(model: CenterNetDetector, cfg: DetectorTrainConfig, params,
+                  batch_stats, batch, rng):
+    """batch: images (B,3,H,W) float[0,1], heatmap (B,Hm,Wm,C), wh (B,N,2),
+    offset (B,N,2), inds (B,N), obj_mask (B,N), seg_mask (B,H,W)."""
+    x = jnp.moveaxis(batch["images"], 1, -1)
+    variables = {"params": params, "batch_stats": batch_stats}
+    outputs, updates = model.apply(
+        variables, x, train=True, mutable=["batch_stats"],
+        rngs={"dropout": rng},
+    )
+
+    l_heat = focal_loss(outputs["heatmap"], batch["heatmap"])
+
+    B, Hm, Wm, _ = outputs["wh"].shape
+
+    def gather_at(field, inds):  # (B,Hm,Wm,D), (B,N) → (B,N,D)
+        flat = field.reshape(B, Hm * Wm, -1)
+        return jnp.take_along_axis(flat, inds[..., None], axis=1)
+
+    m = batch["obj_mask"][..., None].astype(jnp.float32)
+    n_obj = jnp.maximum(m.sum(), 1.0)
+    l_wh = (jnp.abs(gather_at(outputs["wh"], batch["inds"]) - batch["wh"]) * m).sum() / n_obj
+    l_off = (jnp.abs(gather_at(outputs["offset"], batch["inds"]) - batch["offset"]) * m).sum() / n_obj
+
+    # class-agnostic foreground mask from the prototype head (YOLACT-lite):
+    # mean proto activation should reconstruct the downsampled segmentation
+    seg = batch["seg_mask"].astype(jnp.float32)
+    seg_small = jax.image.resize(seg, (B, Hm, Wm), method="bilinear")
+    proto_fg = outputs["protos"].mean(-1)
+    l_mask = optax.sigmoid_binary_cross_entropy(proto_fg, seg_small).mean()
+
+    loss = (
+        cfg.w_heatmap * l_heat
+        + cfg.w_wh * l_wh
+        + cfg.w_offset * l_off
+        + cfg.w_mask * l_mask
+    )
+    metrics = dict(
+        loss_total=loss, loss_heatmap=l_heat, loss_wh=l_wh,
+        loss_offset=l_off, loss_mask=l_mask,
+    )
+    return loss, (metrics, updates["batch_stats"])
+
+
+def create_detector_train_state(cfg: DetectorTrainConfig, rng, image_size=(480, 640)):
+    model = CenterNetDetector(cfg.detector)
+    h, w = image_size
+    variables = model.init(rng, jnp.zeros((1, h, w, 3)), train=False)
+    sched_cfg = PoseTrainConfig(
+        lr=cfg.lr, n_epochs_warmup=cfg.n_epochs_warmup,
+        lr_epoch_decay=cfg.lr_epoch_decay, batch_size=cfg.batch_size,
+        epoch_size=cfg.epoch_size,
+    )
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.clip_grad_norm),
+        optax.adam(lr_schedule(sched_cfg)),
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        tx=tx,
+    )
+    return model, state
+
+
+def make_detector_train_step(model, cfg: DetectorTrainConfig,
+                             mesh: Optional[Mesh] = None):
+    def train_step(state: TrainState, batch, rng):
+        grad_fn = jax.value_and_grad(
+            lambda p: detector_loss(model, cfg, p, state.batch_stats, batch, rng),
+            has_aux=True,
+        )
+        (loss, (metrics, new_bs)), grads = grad_fn(state.params)
+        new_state = state.apply_gradients(grads, new_bs)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+    batch_sharding = NamedSharding(mesh, P("data"))
+    replicated = NamedSharding(mesh, P())
+    return jax.jit(
+        train_step,
+        in_shardings=(replicated, batch_sharding, replicated),
+        out_shardings=(replicated, replicated),
+        donate_argnums=(0,),
+    )
