@@ -130,8 +130,13 @@ def rasterize(
     fixed-shape, gather-free in the per-pixel path.
     """
     H, W = image_size
-    th, tw = tile
-    assert H % th == 0 and W % tw == 0, "tile must divide image size"
+
+    def fit(size, t):
+        while size % t != 0:
+            t -= 1
+        return t
+
+    th, tw = fit(H, tile[0]), fit(W, tile[1])
     nty, ntx = H // th, W // tw
     n_tiles = nty * ntx
     Kcap = min(max_tris_per_tile, tri_verts.shape[1])
