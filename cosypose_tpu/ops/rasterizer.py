@@ -36,6 +36,7 @@ class RenderOutput(NamedTuple):
     rgb: jax.Array    # (B, 3, H, W) float32 in [0, 1]
     depth: jax.Array  # (B, H, W) float32, 0 where no hit
     mask: jax.Array   # (B, H, W) bool
+    attr: jax.Array | None = None  # (B, H, W) winner's flat per-triangle attribute
 
 
 def _triangle_planes(tri_verts_cam, tri_valid, K, tri_colors, z_near):
@@ -120,6 +121,7 @@ def rasterize(
     tile: tuple[int, int] = (24, 64),
     max_tris_per_tile: int = 128,
     z_near: float = 0.05,
+    tri_attr: jax.Array | None = None,  # (B, F) flat attribute (e.g. instance id)
 ) -> RenderOutput:
     """Render a batch of posed meshes under per-item intrinsics.
 
@@ -198,6 +200,10 @@ def rasterize(
         take = lambda x: jnp.take_along_axis(
             x, idx_t.reshape(idx_t.shape + (1,) * (x.ndim - 2)), axis=1
         )
+        attr_t = (
+            jnp.take_along_axis(tri_attr, idx_t, axis=1)
+            if tri_attr is not None else None
+        )  # (B, Kcap)
         lam_a = take(planes["lam_a"])  # (B, Kcap, 3)
         lam_b = take(planes["lam_b"])
         lam_c = take(planes["lam_c"])
@@ -249,9 +255,13 @@ def rasterize(
             hit[..., None], colz / jnp.maximum(iz_win[..., None], 1e-12), 0.0
         )
         depth = jnp.where(hit, 1.0 / jnp.maximum(iz_win, 1e-12), 0.0)
-        return carry, (rgb, depth, hit)
+        if attr_t is not None:
+            attr = jnp.matmul(wf, attr_t[..., None]).reshape(w.shape[:3])
+        else:
+            attr = jnp.zeros_like(depth)
+        return carry, (rgb, depth, hit, attr)
 
-    _, (rgb_t, depth_t, hit_t) = jax.lax.scan(
+    _, (rgb_t, depth_t, hit_t, attr_t) = jax.lax.scan(
         tile_step, None, jnp.arange(n_tiles)
     )
     # reassemble (n_tiles, B, th, tw, ...) → (B, H, W, ...)
@@ -265,4 +275,7 @@ def rasterize(
     rgb = jnp.clip(untile(rgb_t), 0.0, 1.0)
     depth = untile(depth_t)
     mask = untile(hit_t)
-    return RenderOutput(rgb=jnp.moveaxis(rgb, -1, 1), depth=depth, mask=mask)
+    attr = untile(attr_t) if tri_attr is not None else None
+    return RenderOutput(
+        rgb=jnp.moveaxis(rgb, -1, 1), depth=depth, mask=mask, attr=attr
+    )
