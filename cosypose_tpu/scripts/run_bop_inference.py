@@ -1,0 +1,113 @@
+"""BOP20 end-to-end inference CLI.
+
+Capability match for the reference's ``cosypose/scripts/run_bop_inference.py``:
+per-dataset detector → coarse(1) + refiner(4) → optional multiview / ICP,
+predictions exported as BOP CSV for the official toolkit.
+
+  python -m cosypose_tpu.scripts.run_bop_inference --dataset ycbv \
+      [--detector RUN_ID --coarse RUN_ID --refiner RUN_ID] [--icp] [--nviews N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+
+from ..bop_config import BOP_CONFIG, PBR_COARSE, PBR_DETECTORS, PBR_REFINER
+from ..config import EXP_DIR, RESULTS_DIR
+from ..data.datasets_cfg import make_object_dataset, make_scene_dataset
+from ..data.wrappers import MultiViewWrapper
+from ..evaluation.bop_export import predictions_to_bop_csv
+from ..evaluation.pred_runners import BopPredictionRunner
+from ..integrated.detector import Detector
+from ..integrated.icp_refiner import ICPRefiner
+from ..integrated.multiview_predictor import MultiviewScenePredictor
+from ..integrated.pose_predictor import CoarseRefinePosePredictor, LoadedPoseModel
+from ..models.detector import CenterNetDetector, DetectorConfig
+from ..models.pose_predictor import PosePredictor, PosePredictorConfig
+from ..ops.mesh_db import build_mesh_db
+from ..training.checkpoint import latest_checkpoint, load_checkpoint
+from ..utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def load_pose_model(run_id, mesh_db, init_method="z-up+auto-depth",
+                    exp_dir=None):
+    """Rebuild a PosePredictor from a training run's checkpoint."""
+    ckpt = latest_checkpoint(pathlib.Path(exp_dir or EXP_DIR) / run_id)
+    assert ckpt is not None, f"no checkpoint for run {run_id}"
+    payload = load_checkpoint(ckpt)
+    pp = PosePredictor(PosePredictorConfig())
+    variables = {"params": payload["params"],
+                 "batch_stats": payload["batch_stats"]}
+    return LoadedPoseModel(pp, variables, mesh_db, init_method=init_method)
+
+
+def load_detector(run_id, label_to_category_id, exp_dir=None):
+    ckpt = latest_checkpoint(pathlib.Path(exp_dir or EXP_DIR) / run_id)
+    assert ckpt is not None, f"no checkpoint for run {run_id}"
+    payload = load_checkpoint(ckpt)
+    model = CenterNetDetector(
+        DetectorConfig(n_classes=len(label_to_category_id))
+    )
+    variables = {"params": payload["params"],
+                 "batch_stats": payload["batch_stats"]}
+    return Detector(model, variables, label_to_category_id)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset", required=True, choices=list(BOP_CONFIG))
+    parser.add_argument("--detector", default=None)
+    parser.add_argument("--coarse", default=None)
+    parser.add_argument("--refiner", default=None)
+    parser.add_argument("--nviews", type=int, default=1)
+    parser.add_argument("--icp", action="store_true")
+    parser.add_argument("--detection-th", type=float, default=0.3)
+    parser.add_argument("--ds-root", default=None)
+    parser.add_argument("--debug", action="store_true")
+    args = parser.parse_args()
+
+    ds = args.dataset
+    cfg = BOP_CONFIG[ds]
+    scene_ds = make_scene_dataset(cfg["inference_ds_name"][0],
+                                  ds_root=args.ds_root,
+                                  load_depth=args.icp)
+    if args.debug:
+        scene_ds.frame_index = scene_ds.frame_index.iloc[:4].reset_index(drop=True)
+    ds_multi = MultiViewWrapper(scene_ds, n_views=args.nviews)
+
+    obj_ds = make_object_dataset(cfg["obj_ds_name"], ds_root=args.ds_root)
+    mesh_db = build_mesh_db(obj_ds.mesh_specs())
+    labels = {o["label"]: i for i, o in enumerate(obj_ds.objects)}
+
+    detector = load_detector(args.detector or PBR_DETECTORS[ds], labels)
+    coarse = load_pose_model(args.coarse or PBR_COARSE[ds], mesh_db)
+    refiner = load_pose_model(args.refiner or PBR_REFINER[ds], mesh_db)
+    pose_predictor = CoarseRefinePosePredictor(coarse, refiner)
+
+    mv_predictor = None
+    if args.nviews > 1:
+        mesh_db_aabb = build_mesh_db(obj_ds.mesh_specs(), aabb=True,
+                                     keep_geometry=False)
+        mv_predictor = MultiviewScenePredictor(mesh_db_aabb)
+    icp = ICPRefiner(mesh_db) if args.icp else None
+
+    runner = BopPredictionRunner(ds_multi, n_coarse_iterations=1,
+                                 n_refiner_iterations=4)
+    preds = runner.get_predictions(
+        detector, pose_predictor, mv_predictor=mv_predictor, icp_refiner=icp,
+        detection_th=args.detection_th,
+    )
+
+    out_dir = pathlib.Path(RESULTS_DIR) / f"bop-{ds}"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for key, tc in preds.items():
+        csv = out_dir / f"cosyposetpu_{key}-{ds}-test.csv"
+        predictions_to_bop_csv(tc, csv)
+        logger.info(f"Wrote {csv} ({len(tc)} predictions)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+"""Pose training CLI.
+
+Capability match for the reference's ``cosypose/scripts/run_pose_training.py``:
+``python -m cosypose_tpu.scripts.run_pose_training --config tless-coarse
+[--debug] [--resume RUN_ID]``. Named configs resolve hyperparameters
+(training/configs.py); datasets come from the registry (local BOP data
+required), the mesh database is built from the config's object dataset.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..data.datasets_cfg import make_object_dataset, make_scene_dataset
+from ..data.pose_dataset import PoseDataset
+from ..ops.mesh_db import build_mesh_db
+from ..training.configs import make_cfg
+from ..training.train_pose import train_pose
+from ..utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True,
+                        help="e.g. tless-coarse, bop-ycbv-pbr-refiner")
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--pretrain-run-id", default=None)
+    parser.add_argument("--ds-root", default=None)
+    args = parser.parse_args()
+
+    cfg = make_cfg(args.config, debug=args.debug)
+
+    obj_ds = make_object_dataset(cfg.object_ds_name, ds_root=args.ds_root)
+    mesh_db = build_mesh_db(obj_ds.mesh_specs())
+
+    resize = cfg.train.predictor.render_size
+    train_sets = []
+    for ds_name, repeat in cfg.train_ds_names:
+        scene_ds = make_scene_dataset(ds_name, ds_root=args.ds_root)
+        train_sets.append((PoseDataset(scene_ds, resize=(480, 640)), repeat))
+
+    train_pose(
+        cfg,
+        scene_datasets={"train": train_sets},
+        mesh_db=mesh_db,
+        resume=args.resume,
+        pretrain_run_id=args.pretrain_run_id,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,3 @@
+from .multiview import nms3d, make_scene_renderings
+from .plotter import Plotter
+from .singleview import render_prediction_overlay
