@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.rasterizer import rasterize
+from ..ops.render import render as _render
 from ..ops.transforms import make_T
 from ..utils.tensor_collection import PandasTensorCollection
 
@@ -139,7 +139,7 @@ class ICPRefiner:
 
         tri_verts = jnp.take(self.mesh_db.tri_verts, label_ids, axis=0)
         tri_valid = jnp.take(self.mesh_db.tri_valid, label_ids, axis=0)
-        rendered = rasterize(
+        rendered = _render(
             tri_verts, tri_valid, TCO, K_dets, image_size=(H, W)
         ).depth
 

@@ -26,7 +26,7 @@ from ..ops.camera import boxes_from_uv, get_K_crop_resize, project_points_robust
 from ..ops.cropping import deepim_crops
 from ..ops.pose_ops import apply_imagespace_predictions
 from ..ops.transforms import rot6d_to_matrix, quat_to_matrix
-from ..ops.rasterizer import rasterize
+from ..ops.render import render
 from .efficientnet import EfficientNet
 from .wide_resnet import WideResNet18, WideResNet34, FlowNetSEncoder
 
@@ -135,7 +135,8 @@ class PosePredictor:
         )
 
         # 2. render the object at the current pose estimate in the crop frame
-        render = rasterize(
+        # (Pallas kernel on TPU, XLA rasterizer on CPU — ops/render.py)
+        rendered = render(
             mesh_data["tri_verts"], mesh_data["tri_valid"],
             TCO_input, K_crop,
             image_size=cfg.render_size,
@@ -145,7 +146,7 @@ class PosePredictor:
         ).rgb  # (B, 3, H, W)
 
         # 3. network forward on the 6-channel comparison stack (NHWC for TPU)
-        x = jnp.concatenate([images_crop, render], axis=1)
+        x = jnp.concatenate([images_crop, rendered], axis=1)
         x = jnp.moveaxis(x, 1, -1)
         if train:
             out = self.net.apply(

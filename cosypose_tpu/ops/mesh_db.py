@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .symmetries import make_bop_symmetries
-from .mesh_io import load_mesh
+from .mesh_io import load_mesh, decimate_mesh
 
 
 @dataclasses.dataclass
@@ -173,6 +173,7 @@ def build_mesh_db(
     resample_n_points: int | None = None,
     n_sym: int = 64,
     keep_geometry: bool = True,
+    max_faces: int | None = 8192,
 ) -> BatchedMeshes:
     """Load/convert all objects and assemble the padded device arrays.
 
@@ -198,6 +199,8 @@ def build_mesh_db(
             verts, faces, colors = load_mesh(spec.mesh_path, with_colors=True)
         scale = {"mm": 0.001, "m": 1.0}[spec.mesh_units]
         verts = verts * scale
+        if max_faces is not None and faces.shape[0] > max_faces:
+            verts, faces, colors = decimate_mesh(verts, faces, colors, max_faces)
 
         if aabb:
             mins, maxs = verts.min(0), verts.max(0)

@@ -180,3 +180,51 @@ def load_obj(path: str):
         np.asarray(verts, dtype=np.float64),
         np.asarray(faces, dtype=np.int64).reshape(-1, 3),
     )
+
+
+def decimate_mesh(verts: np.ndarray, faces: np.ndarray,
+                  colors: np.ndarray | None, max_faces: int):
+    """Vertex-clustering decimation to at most ~max_faces triangles.
+
+    Replaces trimesh/meshlab simplification used by the reference's asset prep
+    (ref: cosypose/scripts/convert_models_to_urdf.py:12-29): vertices are
+    snapped to a uniform grid whose resolution shrinks until the face budget is
+    met; faces with repeated clusters collapse away. Crude but robust — the
+    render-and-compare network consumes low-fidelity renders anyway, and the
+    budget keeps the rasterizer's per-tile triangle cap sound.
+    """
+    if faces.shape[0] <= max_faces:
+        return verts, faces, colors
+    bbox = verts.max(0) - verts.min(0)
+    diag = float(np.linalg.norm(bbox)) + 1e-9
+    res = 64
+    while res >= 4:
+        cell = diag / res
+        keys = np.floor((verts - verts.min(0)) / cell).astype(np.int64)
+        _, cluster_ids, counts = np.unique(
+            keys, axis=0, return_inverse=True, return_counts=True
+        )
+        n_clusters = counts.shape[0]
+        new_verts = np.zeros((n_clusters, 3), np.float64)
+        np.add.at(new_verts, cluster_ids, verts)
+        new_verts /= counts[:, None]
+        new_colors = None
+        if colors is not None:
+            new_colors = np.zeros((n_clusters, 3), np.float64)
+            np.add.at(new_colors, cluster_ids, colors)
+            new_colors /= counts[:, None]
+        new_faces = cluster_ids[faces]
+        keep = (
+            (new_faces[:, 0] != new_faces[:, 1])
+            & (new_faces[:, 1] != new_faces[:, 2])
+            & (new_faces[:, 0] != new_faces[:, 2])
+        )
+        new_faces = new_faces[keep]
+        # drop duplicate faces (ignoring winding-preserving rotation)
+        canon = np.sort(new_faces, axis=1)
+        _, uniq = np.unique(canon, axis=0, return_index=True)
+        new_faces = new_faces[np.sort(uniq)]
+        if new_faces.shape[0] <= max_faces:
+            return new_verts, new_faces.astype(np.int64), new_colors
+        res //= 2
+    return new_verts, new_faces.astype(np.int64), new_colors

@@ -1,0 +1,226 @@
+"""Pallas TPU rasterizer kernel.
+
+Same contract and math as ops/rasterizer.py (affine screen-space planes,
+perspective-correct 1/z, headlight shading baked into color planes) but the
+per-tile depth resolve runs as a hand-written Mosaic kernel:
+
+  * one grid cell per (batch item, tile); per-tile triangle COUNTS are scalar-
+    prefetched, so the k-loop early-exits — empty tiles cost ~nothing, while
+    the XLA version always evaluates max_tris_per_tile triangles per tile;
+  * the z/color state lives in VMEM scratch registers across the k-loop — the
+    XLA version materializes (B, th, tw, K) plane evaluations to HBM;
+  * triangle coefficients are consumed row-by-row with dynamic sublane slices
+    (no gathers anywhere).
+
+The binning/plane setup is shared with the XLA rasterizer (host of this file's
+`rasterize_pallas` wrapper). Outputs are bit-comparable to the XLA path up to
+float association order.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .rasterizer import RenderOutput, _triangle_planes
+
+# packed coefficient layout per triangle (lane-padded to 24):
+# 0:3 lam_a, 3:6 lam_b, 6:9 lam_c, 9:12 iz_abc,
+# 12:15 col_a, 15:18 col_b, 18:21 col_c, 21 unused.. 23
+_COEF_DIM = 24
+
+
+def _raster_tile_kernel(counts_ref, coef_ref, rgb_ref, depth_ref,
+                        iz_scr, colz_scr, *, th, tw, ntx):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+
+    ty = t // ntx
+    tx = t % ntx
+    y0 = (ty * th).astype(jnp.float32)
+    x0 = (tx * tw).astype(jnp.float32)
+
+    xs = x0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32) + 0.5
+    ys = y0 + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32) + 0.5
+
+    iz_scr[:] = jnp.zeros((th, tw), jnp.float32)
+    colz_scr[:] = jnp.zeros((3, th, tw), jnp.float32)
+
+    count = counts_ref[b * n_tiles + t]
+
+    # triangles are consumed in aligned chunks of 8 sublanes (dynamic sublane
+    # starts must be tile-aligned on TPU); within a chunk the row index is
+    # static and the per-triangle work is predicated on k < count
+    def body(k8, _):
+        rows = coef_ref[0, 0, pl.ds(k8 * 8, 8), :]  # (8, _COEF_DIM)
+        for j in range(8):
+            @pl.when(k8 * 8 + j < count)
+            def _():
+                row = rows[j]
+                lam0 = row[0] * xs + row[3] * ys + row[6]
+                lam1 = row[1] * xs + row[4] * ys + row[7]
+                lam2 = row[2] * xs + row[5] * ys + row[8]
+                izv = row[9] * xs + row[10] * ys + row[11]
+                inside = (lam0 >= -1e-6) & (lam1 >= -1e-6) & (lam2 >= -1e-6)
+                win = inside & (izv > 0.0) & (izv > iz_scr[:])
+                iz_scr[:] = jnp.where(win, izv, iz_scr[:])
+                for c in range(3):
+                    colz_c = row[12 + c] * xs + row[15 + c] * ys + row[18 + c]
+                    colz_scr[c] = jnp.where(win, colz_c, colz_scr[c])
+        return 0
+
+    n_chunks = (count + 7) // 8
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+    iz = iz_scr[:]
+    hit = iz > 0.0
+    safe_iz = jnp.maximum(iz, 1e-12)
+    depth_ref[0, 0] = jnp.where(hit, 1.0 / safe_iz, 0.0)
+    for c in range(3):
+        rgb_ref[0, 0, c] = jnp.where(hit, colz_scr[c] / safe_iz, 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("image_size", "tile", "max_tris_per_tile", "z_near",
+                     "interpret"),
+)
+def rasterize_pallas(
+    tri_verts: jax.Array,     # (B, F, 3, 3) object-frame per-triangle corners
+    tri_valid: jax.Array,     # (B, F) bool
+    TCO: jax.Array,           # (B, 4, 4)
+    K: jax.Array,             # (B, 3, 3)
+    image_size: tuple[int, int] = (240, 320),
+    colors: jax.Array | None = None,
+    tile: tuple[int, int] = (8, 320),
+    max_tris_per_tile: int = 512,
+    z_near: float = 0.05,
+    interpret: bool = False,
+) -> RenderOutput:
+    H, W = image_size
+
+    def fit(size, t):
+        while size % t != 0:
+            t -= 1
+        return t
+
+    th, tw = fit(H, tile[0]), fit(W, tile[1])
+    nty, ntx = H // th, W // tw
+    n_tiles = nty * ntx
+    B, F = tri_verts.shape[:2]
+    Kcap = min(max_tris_per_tile, F)
+    Kcap = ((Kcap + 7) // 8) * 8  # kernel consumes aligned chunks of 8 rows
+
+    if colors is None:
+        colors = jnp.full(tri_verts.shape, 0.7, dtype=tri_verts.dtype)
+
+    # ---- shared plane setup + binning (XLA) ----
+    tv_cam = (
+        jnp.einsum(
+            "bij,bfvj->bfvi", TCO[:, :3, :3], tri_verts,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + TCO[:, None, None, :3, 3]
+    )
+    planes = jax.vmap(_triangle_planes, in_axes=(0, 0, 0, 0, None))(
+        tv_cam, tri_valid, K, colors, z_near
+    )
+
+    ty = jnp.arange(nty)
+    tx = jnp.arange(ntx)
+    tile_x0 = jnp.tile(tx * tw, nty).astype(jnp.float32)
+    tile_y0 = jnp.repeat(ty * th, ntx).astype(jnp.float32)
+    tile_x1 = tile_x0 + tw
+    tile_y1 = tile_y0 + th
+
+    bbox = planes["bbox"]
+    valid = planes["valid"]
+
+    def bin_one(bbox_b, valid_b):
+        ov = (
+            (bbox_b[None, :, 0] <= tile_x1[:, None])
+            & (bbox_b[None, :, 2] >= tile_x0[:, None])
+            & (bbox_b[None, :, 1] <= tile_y1[:, None])
+            & (bbox_b[None, :, 3] >= tile_y0[:, None])
+            & valid_b[None, :]
+        )
+        key = jnp.where(ov, -jnp.arange(F, dtype=jnp.float32)[None, :], -jnp.inf)
+        _, idx = jax.lax.top_k(key, min(Kcap, F))
+        if Kcap > F:  # alignment padding (guarded off by `counts` in-kernel)
+            idx = jnp.concatenate(
+                [idx, jnp.zeros((idx.shape[0], Kcap - F), idx.dtype)], axis=1
+            )
+        ok = jnp.take_along_axis(ov, idx, axis=1)
+        if Kcap > F:
+            ok = ok.at[:, F:].set(False)
+        # compact: overlapping triangles first (top_k emits them in id order)
+        counts = ok.sum(axis=1).astype(jnp.int32)
+        return idx, counts
+
+    tri_idx, counts = jax.vmap(bin_one)(bbox, valid)  # (B, n_tiles, Kcap)
+
+    # packed per-tile coefficient rows (B, n_tiles, Kcap, 24)
+    coef = jnp.concatenate(
+        [
+            planes["lam_a"], planes["lam_b"], planes["lam_c"],
+            planes["iz_abc"],
+            planes["col_a"], planes["col_b"], planes["col_c"],
+            jnp.zeros(planes["lam_a"].shape[:2] + (_COEF_DIM - 21,),
+                      planes["lam_a"].dtype),
+        ],
+        axis=-1,
+    )  # (B, F, 24)
+    coef_tiled = jnp.take_along_axis(
+        coef[:, None], tri_idx[..., None], axis=2
+    )  # (B, n_tiles, Kcap, 24)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, Kcap, _COEF_DIM),
+                lambda b, t, counts: (b, t, 0, 0),
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 3, th, tw), lambda b, t, counts: (b, t, 0, 0, 0)),
+            pl.BlockSpec((1, 1, th, tw), lambda b, t, counts: (b, t, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((th, tw), jnp.float32),
+            pltpu.VMEM((3, th, tw), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(_raster_tile_kernel, th=th, tw=tw, ntx=ntx)
+
+    rgb_t, depth_t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n_tiles, 3, th, tw), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_tiles, th, tw), jnp.float32),
+        ],
+        interpret=interpret,
+    )(counts.reshape(-1), coef_tiled)
+
+    # reassemble tiles → images
+    def untile(x, extra_leading):
+        # x: (B, n_tiles, [C,] th, tw)
+        if extra_leading:
+            x = x.reshape(B, nty, ntx, 3, th, tw)
+            x = jnp.transpose(x, (0, 3, 1, 4, 2, 5))
+            return x.reshape(B, 3, H, W)
+        x = x.reshape(B, nty, ntx, th, tw)
+        x = jnp.transpose(x, (0, 1, 3, 2, 4))
+        return x.reshape(B, H, W)
+
+    rgb = jnp.clip(untile(rgb_t, True), 0.0, 1.0)
+    depth = untile(depth_t, False)
+    return RenderOutput(rgb=rgb, depth=depth, mask=depth > 0)

@@ -1,0 +1,33 @@
+"""Rendering dispatcher: Pallas kernel on TPU, XLA rasterizer elsewhere.
+
+The Pallas kernel (ops/rasterizer_pallas.py) is both faster and more robust
+than the XLA formulation on TPU (per-tile triangle-count early exit lets it
+carry a 4× larger triangle budget at lower cost); on CPU it would need
+interpreter mode, so tests and host-side paths use the XLA version. The flat
+instance-attribute channel (SceneRenderer) is only implemented in the XLA
+path — callers needing `tri_attr` use `rasterize` directly.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from .rasterizer import RenderOutput, rasterize
+from .rasterizer_pallas import rasterize_pallas
+
+
+def render(tri_verts, tri_valid, TCO, K, image_size=(240, 320), colors=None,
+           use_pallas: bool | None = None,
+           tile=(24, 64), max_tris_per_tile=128,
+           pallas_tile=(16, 320), pallas_max_tris_per_tile=512) -> RenderOutput:
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        return rasterize_pallas(
+            tri_verts, tri_valid, TCO, K, image_size=image_size, colors=colors,
+            tile=pallas_tile, max_tris_per_tile=pallas_max_tris_per_tile,
+        )
+    return rasterize(
+        tri_verts, tri_valid, TCO, K, image_size=image_size, colors=colors,
+        tile=tile, max_tris_per_tile=max_tris_per_tile,
+    )

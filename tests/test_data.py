@@ -186,3 +186,33 @@ def test_samplers(bop_root):
     assert len(list(iter(s))) == 2
     parts = [list(DistributedSceneSampler(ds, 2, r, seed=1)) for r in range(2)]
     assert sorted(parts[0] + parts[1]) == [0, 1, 2]
+
+
+def test_mesh_decimation():
+    from cosypose_tpu.ops.mesh_io import decimate_mesh
+
+    # dense UV sphere → decimate to ≤ 500 faces, geometry roughly preserved
+    thetas = np.linspace(0, np.pi, 40)
+    phis = np.linspace(0, 2 * np.pi, 80, endpoint=False)
+    verts = np.array(
+        [
+            (np.sin(t) * np.cos(p), np.sin(t) * np.sin(p), np.cos(t))
+            for t in thetas
+            for p in phis
+        ]
+    )
+    faces = []
+    for i in range(39):
+        for j in range(80):
+            a = i * 80 + j
+            b = i * 80 + (j + 1) % 80
+            c = (i + 1) * 80 + j
+            d = (i + 1) * 80 + (j + 1) % 80
+            faces.append((a, b, c))
+            faces.append((b, d, c))
+    faces = np.asarray(faces)
+    nv, nf, _ = decimate_mesh(verts, faces, None, 500)
+    assert nf.shape[0] <= 500
+    assert nf.shape[0] > 50
+    r = np.linalg.norm(nv, axis=-1)
+    assert abs(r.mean() - 1.0) < 0.1  # still sphere-ish
