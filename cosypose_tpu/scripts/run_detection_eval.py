@@ -1,0 +1,85 @@
+"""Detector mAP evaluation CLI.
+
+Capability match for the reference's ``cosypose/scripts/run_detection_eval.py``:
+run a detector over a dataset and report detection AP/mAP/recall.
+
+  python -m cosypose_tpu.scripts.run_detection_eval --dataset ycbv \
+      --detector RUN_ID [--detection-th 0.0]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..data.datasets_cfg import make_object_dataset, make_scene_dataset
+from ..evaluation.eval_runners import DetectionEvaluation
+from ..evaluation.meters import DetectionMeter
+from ..evaluation.pred_runners import DetectionRunner
+from ..utils.logging import get_logger
+from ..utils.tensor_collection import PandasTensorCollection
+from .run_bop_inference import load_detector
+
+logger = get_logger(__name__)
+
+
+class _DetectionGTEvaluation(DetectionEvaluation):
+    def collect_gt(self):
+        from ..utils.tensor_collection import concatenate
+
+        gts = []
+        for idx in range(len(self.scene_ds)):
+            _, _, obs = self.scene_ds[idx]
+            frame = obs["frame_info"]
+            rows, boxes = [], []
+            for o in obs["objects"]:
+                if o.get("bbox") is None:
+                    continue
+                rows.append(
+                    dict(scene_id=frame["scene_id"], view_id=frame["view_id"],
+                         label=o["label"],
+                         visib_fract=o.get("visib_fract", 1.0))
+                )
+                boxes.append(o["bbox"])
+            if rows:
+                gts.append(
+                    PandasTensorCollection(
+                        pd.DataFrame(rows),
+                        bboxes=jnp.asarray(np.stack(boxes), jnp.float32),
+                    )
+                )
+        return concatenate(gts)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset", required=True)
+    parser.add_argument("--detector", required=True)
+    parser.add_argument("--detection-th", type=float, default=0.0)
+    parser.add_argument("--ds-root", default=None)
+    parser.add_argument("--debug", action="store_true")
+    args = parser.parse_args()
+
+    scene_ds = make_scene_dataset(f"{args.dataset}.test", ds_root=args.ds_root)
+    if args.debug:
+        scene_ds.frame_index = scene_ds.frame_index.iloc[:8].reset_index(drop=True)
+    obj_ds = make_object_dataset(f"{args.dataset}.models", ds_root=args.ds_root)
+    labels = {o["label"]: i for i, o in enumerate(obj_ds.objects)}
+
+    detector = load_detector(args.detector, labels)
+    runner = DetectionRunner(scene_ds)
+    preds = runner.get_predictions(detector, detection_th=args.detection_th)
+
+    evaluator = _DetectionGTEvaluation(
+        scene_ds, {"bbox@0.5": DetectionMeter(iou_threshold=0.5)}
+    )
+    metrics, _ = evaluator.evaluate(preds["detections"])
+    for name, summary in metrics.items():
+        logger.info(f"{name}: {summary}")
+
+
+if __name__ == "__main__":
+    main()

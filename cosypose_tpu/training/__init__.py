@@ -4,5 +4,6 @@ from .pose_training import (
     make_optimizer,
     pose_loss,
     make_train_step,
+    make_val_step,
     create_train_state,
 )

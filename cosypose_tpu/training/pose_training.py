@@ -187,6 +187,27 @@ def pose_loss(pp: PosePredictor, cfg: PoseTrainConfig, params, batch_stats,
     return loss, (metrics, outs["batch_stats"])
 
 
+def make_val_step(pp: PosePredictor, cfg: PoseTrainConfig, mesh_db,
+                  mesh: Optional[Mesh] = None):
+    """Forward-only loss for validation (no update, no batch-stat mutation)."""
+
+    def val_step(state: TrainState, batch, rng):
+        _, (metrics, _) = pose_loss(
+            pp, cfg, state.params, state.batch_stats, mesh_db, batch, rng
+        )
+        return metrics
+
+    if mesh is None:
+        return jax.jit(val_step)
+    batch_sharding = NamedSharding(mesh, P("data"))
+    replicated = NamedSharding(mesh, P())
+    return jax.jit(
+        val_step,
+        in_shardings=(replicated, batch_sharding, replicated),
+        out_shardings=replicated,
+    )
+
+
 def make_train_step(pp: PosePredictor, cfg: PoseTrainConfig, mesh_db,
                     mesh: Optional[Mesh] = None):
     """Build the jitted DP train step.

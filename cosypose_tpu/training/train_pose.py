@@ -33,7 +33,7 @@ from .checkpoint import (
     save_config,
 )
 from .logs import MetricsAccumulator, RunLogger
-from .pose_training import create_train_state, make_train_step
+from .pose_training import create_train_state, make_train_step, make_val_step
 
 logger = get_logger(__name__)
 
@@ -155,6 +155,7 @@ def train_pose(cfg, scene_datasets=None, mesh_db=None, resume: bool = False,
             logger.info(f"Resumed from {ckpt} at epoch {start_epoch}")
 
     step_fn = make_train_step(pp, tcfg, mesh_db, mesh=mesh)
+    val_fn = make_val_step(pp, tcfg, mesh_db, mesh=mesh)
 
     train_ds = ConcatDataset(scene_datasets["train"])
     val_ds = (
@@ -194,8 +195,32 @@ def train_pose(cfg, scene_datasets=None, mesh_db=None, resume: bool = False,
             save_checkpoint(run_dir, state, epoch)
 
         if val_ds is not None and epoch % cfg.val_epoch_interval == 0:
-            # validation shares the train loss path without the update
-            pass  # cheap val hook: reuse pose_loss on a few batches (TODO r2)
+            # validation = the train loss path without the update
+            # (ref: train_pose.py:341-349 validation epoch)
+            val_sampler = PartialSampler(
+                val_ds, max(global_batch, tcfg.epoch_size // 10), seed=0
+            )
+            val_loader = PrefetchLoader(
+                val_ds, val_sampler, global_batch, PoseDataset.collate_fn,
+                n_workers=max(cfg.n_dataloader_workers, 1),
+            )
+            val_acc = MetricsAccumulator()
+            for batch in val_loader:
+                rng, step_rng = jax.random.split(rng)
+                device_batch = dict(
+                    images=batch.images.astype(np.float32) / 255.0,
+                    K=batch.K,
+                    TCO=batch.TCO,
+                    bboxes=batch.bboxes,
+                    label_ids=np.asarray(mesh_db.ids_for(batch.labels), np.int32),
+                )
+                if mesh is not None:
+                    device_batch = shard_batch(mesh, device_batch)
+                val_metrics = val_fn(state, device_batch, step_rng)
+                val_acc.add({k: float(v) for k, v in val_metrics.items()})
+            run_logger.append(
+                epoch, {}, extra={f"val/{k}": v for k, v in val_acc.means().items()}
+            )
 
     save_checkpoint(run_dir, state, tcfg.n_epochs - 1)
     return state, run_dir

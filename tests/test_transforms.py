@@ -139,3 +139,34 @@ def test_make_T_shape():
     assert T.shape == (1, 4, 4)
     np.testing.assert_allclose(np.asarray(T[0, :3, 3]), [1, 2, 3])
     np.testing.assert_allclose(np.asarray(T[0, 3]), [0, 0, 0, 1])
+
+
+def test_transform_class():
+    from cosypose_tpu.ops.transform import Transform
+
+    # quaternion constructor: 90° about z
+    s = np.sin(np.pi / 4)
+    T = Transform(np.array([0, 0, s, s]), (1.0, 2.0, 3.0))
+    expected_R = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1.0]])
+    np.testing.assert_allclose(T.rotation, expected_R, atol=1e-9)
+    np.testing.assert_allclose(T.translation, [1, 2, 3])
+    # composition and inverse
+    I = T * T.inverse()
+    np.testing.assert_allclose(I.toHomogeneousMatrix(), np.eye(4), atol=1e-12)
+    # quaternion round-trip
+    q = T.quaternion
+    T2 = Transform(q, T.translation)
+    np.testing.assert_allclose(T2.rotation, T.rotation, atol=1e-9)
+    # matrix constructor
+    T3 = Transform(T.toHomogeneousMatrix())
+    np.testing.assert_allclose(T3.translation, T.translation)
+
+
+def test_temp_numpy_seed():
+    from cosypose_tpu.utils.misc import temp_numpy_seed
+
+    with temp_numpy_seed(0):
+        a = np.random.rand(3)
+    with temp_numpy_seed(0):
+        b = np.random.rand(3)
+    np.testing.assert_array_equal(a, b)
