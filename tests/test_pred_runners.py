@@ -1,0 +1,93 @@
+"""End-to-end prediction-runner tests over the synthetic BOP fixture."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pandas as pd
+
+from cosypose_tpu.data.bop import BOPDataset, BOPObjectDataset
+from cosypose_tpu.data.wrappers import MultiViewWrapper
+from cosypose_tpu.evaluation.eval_runners import PoseEvaluation
+from cosypose_tpu.evaluation.meters import PoseErrorMeter
+from cosypose_tpu.evaluation.pred_runners import (
+    DetectionRunner,
+    MultiviewPredictionRunner,
+)
+from cosypose_tpu.integrated import CoarseRefinePosePredictor, LoadedPoseModel
+from cosypose_tpu.models import PosePredictor, PosePredictorConfig
+from cosypose_tpu.ops.mesh_db import build_mesh_db
+from cosypose_tpu.utils.tensor_collection import PandasTensorCollection
+from tests.test_data import build_bop_fixture
+
+
+def tiny_model(mesh_db):
+    cfg = PosePredictorConfig(
+        backbone="efficientnet-b0",
+        render_size=(48, 64),
+        n_points_crop=8,
+        raster_max_tris_per_tile=16,
+    )
+    pp = PosePredictor(cfg)
+    variables = pp.init(jax.random.PRNGKey(0))
+    return LoadedPoseModel(pp, variables, mesh_db, init_method="v0")
+
+
+def test_multiview_runner_with_saved_detections(tmp_path):
+    root = build_bop_fixture(tmp_path)
+    scene_ds = BOPDataset(root, split="test")
+    obj_ds = BOPObjectDataset(root / "models")
+    mesh_db = build_mesh_db(obj_ds.mesh_specs())
+
+    ds_multi = MultiViewWrapper(scene_ds, n_views=3)
+    model = tiny_model(mesh_db)
+    predictor = CoarseRefinePosePredictor(model, model, bsz_objects=4)
+
+    # saved detections: GT boxes of the visible object in each view
+    rows, boxes = [], []
+    for idx in range(len(scene_ds)):
+        _, _, obs = scene_ds[idx]
+        frame = obs["frame_info"]
+        o = obs["objects"][0]
+        rows.append(dict(scene_id=frame["scene_id"], view_id=frame["view_id"],
+                         label=o["label"], score=0.9))
+        boxes.append(o["bbox"])
+    detections = PandasTensorCollection(
+        pd.DataFrame(rows), bboxes=jnp.asarray(np.stack(boxes), jnp.float32)
+    )
+
+    runner = MultiviewPredictionRunner(ds_multi, n_coarse_iterations=1,
+                                       n_refiner_iterations=1)
+    preds = runner.get_predictions(predictor, detections=detections)
+    assert "coarse/iteration=1" in preds
+    assert "refiner/iteration=1" in preds
+    final = preds["refiner/iteration=1"]
+    assert len(final) == 3  # one detection per view
+    assert {"scene_id", "view_id", "label", "score"} <= set(final.infos.columns)
+
+    # evaluate the (untrained) predictions through the meter stack — the
+    # pipeline wiring is what's under test, not accuracy
+    for label in mesh_db.infos:
+        mesh_db.infos[label].setdefault("diameter_m", 0.18)
+    meter = PoseErrorMeter(mesh_db, error_type="ADD", report_error_AUC=True)
+    ev = PoseEvaluation(scene_ds, {"ADD": meter})
+    metrics, _ = ev.evaluate(final)
+    assert metrics["ADD"]["n_gt"] == 6  # 2 objects × 3 views
+    assert np.isfinite(metrics["ADD"]["n_pred"])
+
+
+def test_detection_runner(tmp_path):
+    from cosypose_tpu.integrated import Detector
+    from cosypose_tpu.models.detector import CenterNetDetector, DetectorConfig
+
+    root = build_bop_fixture(tmp_path)
+    scene_ds = BOPDataset(root, split="test")
+    cfg = DetectorConfig(n_classes=2, max_detections=4)
+    model = CenterNetDetector(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 96, 128, 3)),
+                           train=False)
+    det = Detector(model, variables,
+                   {"obj_000001": 0, "obj_000002": 1})
+    runner = DetectionRunner(scene_ds)
+    preds = runner.get_predictions(det, detection_th=0.0)
+    assert "detections" in preds
+    assert {"scene_id", "view_id"} <= set(preds["detections"].infos.columns)
