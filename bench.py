@@ -24,9 +24,9 @@ import numpy as np
 REPO = pathlib.Path(__file__).resolve().parent
 CPU_CACHE = REPO / "BASELINE_CPU.json"
 
-BATCH = 32
-N_ITER = 1  # refiner iterations per call
-REPS = 10
+BATCH = 64
+N_ITER = 4  # refiner iterations per call (the BOP20 inference config)
+REPS = 6
 
 
 def build(B):
@@ -101,7 +101,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"refiner_crops_per_sec_{backend}",
+                "metric": f"refiner_crop_iterations_per_sec_{backend}",
                 "value": round(value, 2),
                 "unit": "crops/s",
                 "vs_baseline": round(vs, 2) if vs else None,

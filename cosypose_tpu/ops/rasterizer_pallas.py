@@ -54,24 +54,23 @@ def _raster_tile_kernel(counts_ref, coef_ref, rgb_ref, depth_ref,
     count = counts_ref[b * n_tiles + t]
 
     # triangles are consumed in aligned chunks of 8 sublanes (dynamic sublane
-    # starts must be tile-aligned on TPU); within a chunk the row index is
-    # static and the per-triangle work is predicated on k < count
+    # starts must be tile-aligned on TPU). Rows past `count` are ZEROED by the
+    # host-side packer, and an all-zero row is inert (izv ≡ 0 never wins), so
+    # the chunk body runs unpredicated — no per-triangle branches.
     def body(k8, _):
         rows = coef_ref[0, 0, pl.ds(k8 * 8, 8), :]  # (8, _COEF_DIM)
         for j in range(8):
-            @pl.when(k8 * 8 + j < count)
-            def _():
-                row = rows[j]
-                lam0 = row[0] * xs + row[3] * ys + row[6]
-                lam1 = row[1] * xs + row[4] * ys + row[7]
-                lam2 = row[2] * xs + row[5] * ys + row[8]
-                izv = row[9] * xs + row[10] * ys + row[11]
-                inside = (lam0 >= -1e-6) & (lam1 >= -1e-6) & (lam2 >= -1e-6)
-                win = inside & (izv > 0.0) & (izv > iz_scr[:])
-                iz_scr[:] = jnp.where(win, izv, iz_scr[:])
-                for c in range(3):
-                    colz_c = row[12 + c] * xs + row[15 + c] * ys + row[18 + c]
-                    colz_scr[c] = jnp.where(win, colz_c, colz_scr[c])
+            row = rows[j]
+            lam0 = row[0] * xs + row[3] * ys + row[6]
+            lam1 = row[1] * xs + row[4] * ys + row[7]
+            lam2 = row[2] * xs + row[5] * ys + row[8]
+            izv = row[9] * xs + row[10] * ys + row[11]
+            inside = (lam0 >= -1e-6) & (lam1 >= -1e-6) & (lam2 >= -1e-6)
+            win = inside & (izv > 0.0) & (izv > iz_scr[:])
+            iz_scr[:] = jnp.where(win, izv, iz_scr[:])
+            for c in range(3):
+                colz_c = row[12 + c] * xs + row[15 + c] * ys + row[18 + c]
+                colz_scr[c] = jnp.where(win, colz_c, colz_scr[c])
         return 0
 
     n_chunks = (count + 7) // 8
@@ -97,7 +96,7 @@ def rasterize_pallas(
     K: jax.Array,             # (B, 3, 3)
     image_size: tuple[int, int] = (240, 320),
     colors: jax.Array | None = None,
-    tile: tuple[int, int] = (8, 320),
+    tile: tuple[int, int] = (48, 320),
     max_tris_per_tile: int = 512,
     z_near: float = 0.05,
     interpret: bool = False,
@@ -178,6 +177,12 @@ def rasterize_pallas(
     coef_tiled = jnp.take_along_axis(
         coef[:, None], tri_idx[..., None], axis=2
     )  # (B, n_tiles, Kcap, 24)
+    # zero the gathered rows past each tile's count — the kernel's chunk loop
+    # relies on inert zero rows instead of per-triangle predication
+    ok_mask = (
+        jnp.arange(Kcap)[None, None, :] < counts[..., None]
+    )
+    coef_tiled = jnp.where(ok_mask[..., None], coef_tiled, 0.0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
