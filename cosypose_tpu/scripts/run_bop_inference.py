@@ -13,6 +13,8 @@ from __future__ import annotations
 import argparse
 import pathlib
 
+import numpy as np
+
 from ..bop_config import BOP_CONFIG, PBR_COARSE, PBR_DETECTORS, PBR_REFINER
 from ..config import EXP_DIR, RESULTS_DIR
 from ..data.datasets_cfg import make_object_dataset, make_scene_dataset
@@ -34,13 +36,52 @@ logger = get_logger(__name__)
 
 def load_pose_model(run_id, mesh_db, init_method="z-up+auto-depth",
                     exp_dir=None):
-    """Rebuild a PosePredictor from a training run's checkpoint."""
-    ckpt = latest_checkpoint(pathlib.Path(exp_dir or EXP_DIR) / run_id)
+    """Rebuild a PosePredictor from a training run's checkpoint, using the
+    run's saved config.yaml for the model hyperparameters (the reference
+    attaches the config to the model for the same purpose,
+    ref: run_cosypose_eval.py:236-248)."""
+    import json
+
+    run_dir = pathlib.Path(exp_dir or EXP_DIR) / run_id
+    ckpt = latest_checkpoint(run_dir)
     assert ckpt is not None, f"no checkpoint for run {run_id}"
     payload = load_checkpoint(ckpt)
-    pp = PosePredictor(PosePredictorConfig())
+
+    cfg = PosePredictorConfig()
+    cfg_file = run_dir / "config.yaml"
+    if cfg_file.exists():
+        raw = json.loads(cfg_file.read_text())
+        pred = raw.get("train", {}).get("predictor", raw.get("predictor", {}))
+        if pred:
+            cfg = PosePredictorConfig(
+                backbone=pred.get("backbone", cfg.backbone),
+                render_size=tuple(pred.get("render_size", cfg.render_size)),
+                pose_dim=pred.get("pose_dim", cfg.pose_dim),
+                n_points_crop=pred.get("n_points_crop", cfg.n_points_crop),
+            )
+    pp = PosePredictor(cfg)
     variables = {"params": payload["params"],
                  "batch_stats": payload["batch_stats"]}
+    return LoadedPoseModel(pp, variables, mesh_db, init_method=init_method)
+
+
+def load_reference_torch_checkpoint(path, mesh_db, init_method="v0"):
+    """Load a reference-format torch checkpoint (checkpoint.pth.tar with a
+    'state_dict') into a LoadedPoseModel via the weight converter
+    (utils/torch_compat.py). Enables running the reference's released models
+    in this framework."""
+    import torch
+
+    from ..utils.torch_compat import convert_pose_checkpoint
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt["state_dict"] if "state_dict" in ckpt else ckpt
+    variables = convert_pose_checkpoint(sd)
+    import jax.numpy as jnp
+    import jax
+
+    variables = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), variables)
+    pp = PosePredictor(PosePredictorConfig())
     return LoadedPoseModel(pp, variables, mesh_db, init_method=init_method)
 
 
