@@ -19,9 +19,13 @@ from .rasterizer_pallas import rasterize_pallas
 def render(tri_verts, tri_valid, TCO, K, image_size=(240, 320), colors=None,
            use_pallas: bool | None = None,
            tile=(24, 64), max_tris_per_tile=128,
-           pallas_tile=(16, 320), pallas_max_tris_per_tile=512) -> RenderOutput:
+           pallas_tile=(48, 320), pallas_max_tris_per_tile=512) -> RenderOutput:
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        # respect an active jax.default_device(...) override (e.g. the bench's
+        # CPU-baseline measurement on a TPU host)
+        dev = jax.config.jax_default_device
+        platform = dev.platform if dev is not None else jax.default_backend()
+        use_pallas = platform == "tpu"
     if use_pallas:
         return rasterize_pallas(
             tri_verts, tri_valid, TCO, K, image_size=image_size, colors=colors,
