@@ -41,6 +41,10 @@ class PosePredictorConfig:
     compute_dtype: Any = jnp.float32  # bfloat16 for the backbone on TPU
     raster_tile: tuple[int, int] = (24, 64)
     raster_max_tris_per_tile: int = 128
+    remat: bool = True  # rematerialize backbone activations in training
+    # (a 3-iteration scan of EfficientNet-B3 at 240x320 batch 32 otherwise
+    # needs ~70 GB of HBM for stored activations; remat trades ~30% extra
+    # forward FLOPs for fitting on a 16 GB chip — jax.checkpoint)
 
 
 def make_backbone(cfg: PosePredictorConfig):
@@ -149,12 +153,16 @@ class PosePredictor:
         x = jnp.concatenate([images_crop, rendered], axis=1)
         x = jnp.moveaxis(x, 1, -1)
         if train:
-            out = self.net.apply(
-                variables, x, train=True,
-                rngs={"dropout": rng},
-                mutable=["batch_stats"],
-            )
-            pose_outputs, updates = out
+            def net_apply(variables, x, rng):
+                return self.net.apply(
+                    variables, x, train=True,
+                    rngs={"dropout": rng},
+                    mutable=["batch_stats"],
+                )
+
+            if cfg.remat:
+                net_apply = jax.checkpoint(net_apply)
+            pose_outputs, updates = net_apply(variables, x, rng)
         else:
             pose_outputs = self.net.apply(variables, x, train=False)
             updates = None

@@ -35,3 +35,8 @@ from .symmetric import (
     chamfer_dist,
 )
 from .mesh_ops import get_meshes_bounding_boxes, sample_points
+from .rasterizer import rasterize, RenderOutput
+from .rasterizer_pallas import rasterize_pallas
+from .render import render
+from .mesh_db import MeshSpec, BatchedMeshes, build_mesh_db
+from .transform import Transform
