@@ -91,3 +91,39 @@ def test_detection_runner(tmp_path):
     preds = runner.get_predictions(det, detection_th=0.0)
     assert "detections" in preds
     assert {"scene_id", "view_id"} <= set(preds["detections"].infos.columns)
+
+
+def test_bop_prediction_runner_end_to_end(tmp_path):
+    """Full BOP pipeline wiring: detector → coarse+refiner → CSV export."""
+    from cosypose_tpu.evaluation.bop_export import predictions_to_bop_csv
+    from cosypose_tpu.evaluation.pred_runners import BopPredictionRunner
+    from cosypose_tpu.integrated import Detector
+    from cosypose_tpu.models.detector import CenterNetDetector, DetectorConfig
+
+    root = build_bop_fixture(tmp_path)
+    scene_ds = BOPDataset(root, split="test")
+    obj_ds = BOPObjectDataset(root / "models")
+    mesh_db = build_mesh_db(obj_ds.mesh_specs())
+
+    det_model = CenterNetDetector(DetectorConfig(n_classes=2, max_detections=4))
+    det_vars = det_model.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 96, 128, 3)), train=False)
+    detector = Detector(det_model, det_vars,
+                        {"obj_000001": 0, "obj_000002": 1})
+
+    model = tiny_model(mesh_db)
+    predictor = CoarseRefinePosePredictor(model, model, bsz_objects=4)
+
+    ds_multi = MultiViewWrapper(scene_ds, n_views=1)
+    runner = BopPredictionRunner(ds_multi, n_coarse_iterations=1,
+                                 n_refiner_iterations=1)
+    # untrained detector: accept everything above 0 so the pipeline runs
+    preds = runner.get_predictions(detector, predictor, detection_th=0.0)
+    assert "pose" in preds
+    pose_preds = preds["pose"]
+    assert len(pose_preds) > 0
+    assert "time" in pose_preds.infos.columns
+
+    csv = tmp_path / "preds.csv"
+    predictions_to_bop_csv(pose_preds, csv)
+    assert csv.read_text().startswith("scene_id,im_id,obj_id,score,R,t,time")
