@@ -115,12 +115,17 @@ class PrefetchLoader:
 
 def train_pose(cfg, scene_datasets=None, mesh_db=None, resume: bool = False,
                pretrain_run_id: str | None = None, exp_dir=None,
-               use_mesh: bool | None = None):
+               use_mesh: bool | None = None, eval_callback=None):
     """Run the training loop.
 
     cfg: training.configs.RunConfig. scene_datasets: {'train': [(ds, repeat)],
     'val': [...]} — pass directly (dataset registry needs local BOP data).
     mesh_db: BatchedMeshes with render geometry for the training objects.
+    eval_callback: optional fn(state, epoch) → metrics dict, invoked every
+    cfg.test_epoch_interval epochs — the in-training full-evaluation hook
+    (the reference builds an eval bundle running the whole pred+eval pipeline
+    during training, ref: train_pose.py:76-185; here the caller assembles the
+    bundle from evaluation.pred_runners/eval_runners and passes it in).
     """
     exp_dir = pathlib.Path(exp_dir or EXP_DIR)
     run_dir = exp_dir / cfg.run_id
@@ -193,6 +198,14 @@ def train_pose(cfg, scene_datasets=None, mesh_db=None, resume: bool = False,
 
         if epoch % cfg.save_epoch_interval == 0:
             save_checkpoint(run_dir, state, epoch)
+
+        if eval_callback is not None and epoch % cfg.test_epoch_interval == 0:
+            test_metrics = eval_callback(state, epoch)
+            if test_metrics:
+                run_logger.append(
+                    epoch, {},
+                    extra={f"test/{k}": v for k, v in test_metrics.items()},
+                )
 
         if val_ds is not None and epoch % cfg.val_epoch_interval == 0:
             # validation = the train loss path without the update

@@ -93,3 +93,37 @@ def test_train_pose_end_to_end(tmp_path):
         use_mesh=False,
     )
     assert int(state2.step) == 3
+
+
+def test_eval_callback_hook(tmp_path):
+    import json as _json
+
+    root = build_bop_fixture(tmp_path)
+    scene_ds = BOPDataset(root, split="test")
+    obj_ds = BOPObjectDataset(root / "models")
+    mesh_db = build_mesh_db(obj_ds.mesh_specs())
+    pose_ds = PoseDataset(scene_ds, resize=(48, 64), apply_rgb_augmentation=False)
+
+    tcfg = PoseTrainConfig(
+        predictor=PosePredictorConfig(
+            backbone="efficientnet-b0", render_size=(48, 64),
+            n_points_crop=8, raster_max_tris_per_tile=16,
+        ),
+        n_iterations=1, n_points_loss=8, input_generator="gt+noise",
+        batch_size=2, epoch_size=4, n_epochs=2, n_epochs_warmup=1,
+    )
+    cfg = RunConfig(run_id="cb-run", train=tcfg, n_dataloader_workers=1,
+                    test_epoch_interval=1)
+    calls = []
+
+    def eval_cb(state, epoch):
+        calls.append(epoch)
+        return {"dummy_metric": float(epoch)}
+
+    _, run_dir = train_pose(
+        cfg, scene_datasets={"train": [(pose_ds, 1)]}, mesh_db=mesh_db,
+        exp_dir=tmp_path / "exp", use_mesh=False, eval_callback=eval_cb,
+    )
+    assert calls == [0, 1]
+    recs = [_json.loads(l) for l in (run_dir / "log.txt").read_text().splitlines()]
+    assert any("test/dummy_metric" in r for r in recs)
