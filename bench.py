@@ -103,7 +103,7 @@ def main():
             {
                 "metric": f"refiner_crop_iterations_per_sec_{backend}",
                 "value": round(value, 2),
-                "unit": "crops/s",
+                "unit": "crop-iterations/s",
                 "vs_baseline": round(vs, 2) if vs else None,
             }
         )
