@@ -118,8 +118,15 @@ class PosePredictor:
 
     def init(self, key: jax.Array):
         h, w = self.cfg.render_size
-        dummy = jnp.zeros((1, h, w, 6), jnp.float32)
-        return self.net.init({"params": key}, dummy, train=False)
+
+        # jit the whole init: eager flax init dispatches every layer op
+        # separately, which costs minutes through a ~40ms/dispatch TPU tunnel
+        @jax.jit
+        def _init(key):
+            dummy = jnp.zeros((1, h, w, 6), jnp.float32)
+            return self.net.init({"params": key}, dummy, train=False)
+
+        return _init(key)
 
     # -- single refinement iteration ------------------------------------
     def _iteration(self, variables, mesh_data, images, K, TCO_input,
