@@ -31,11 +31,31 @@ _BOP_SPLITS = {
 
 def make_scene_dataset(ds_name: str, ds_root=None, load_depth: bool = False):
     """e.g. 'ycbv.test', 'tless.primesense.test', 'ycbv.train.pbr',
-    'ycbv.test.bop19' (keeps only BOP19 target images when the file exists).
+    'ycbv.test.bop19' (keeps only BOP19 target images when the file exists),
+    'synthetic.<recorded-name>.<train|val>' (datasets written by the
+    recording pipeline, split via their split_keys.json —
+    ref: datasets_cfg.py:116-129 synthetic registry).
     """
-    root = pathlib.Path(ds_root or LOCAL_DATA_DIR) / "bop_datasets"
     parts = ds_name.split(".")
     name = parts[0]
+
+    if name == "synthetic":
+        sub, which = parts[1], (parts[2] if len(parts) > 2 else "train")
+        ds_dir = (
+            pathlib.Path(ds_root or LOCAL_DATA_DIR) / "synt_datasets" / sub
+        )
+        ds = BOPDataset(ds_dir, split="train_synt", load_depth=load_depth)
+        split_file = ds_dir / "split_keys.json"
+        if split_file.exists():
+            import json
+
+            keys = set(json.loads(split_file.read_text())[which])
+            fi = ds.frame_index
+            sel = fi["scene_id"].map(lambda s: f"{int(s):06d}" in keys)
+            ds.frame_index = fi[sel].reset_index(drop=True)
+        return ds
+
+    root = pathlib.Path(ds_root or LOCAL_DATA_DIR) / "bop_datasets"
     bop19 = "bop19" in parts
 
     if "train" in parts and "pbr" in parts:
@@ -71,12 +91,17 @@ def make_scene_dataset(ds_name: str, ds_root=None, load_depth: bool = False):
     return ds
 
 
-def make_object_dataset(ds_name: str, ds_root=None) -> BOPObjectDataset:
-    """e.g. 'ycbv.models', 'tless.cad', 'tless.eval', 'ycbv.bop-compat'
+def make_object_dataset(ds_name: str, ds_root=None):
+    """e.g. 'ycbv.models', 'tless.cad', 'tless.eval', 'ycbv.bop-compat',
+    'procedural' (built-in data-free object set)
     (ref: datasets_cfg.py:150-182)."""
-    root = pathlib.Path(ds_root or LOCAL_DATA_DIR) / "bop_datasets"
     parts = ds_name.split(".")
     name = parts[0]
+    if name == "procedural":
+        from .procedural_objects import ProceduralObjectDataset
+
+        return ProceduralObjectDataset()
+    root = pathlib.Path(ds_root or LOCAL_DATA_DIR) / "bop_datasets"
     if "cad" in parts:
         subdir = "models_cad"
     elif "eval" in parts:
@@ -84,6 +109,19 @@ def make_object_dataset(ds_name: str, ds_root=None) -> BOPObjectDataset:
     else:
         subdir = "models"
     return BOPObjectDataset(root / name / subdir)
+
+
+def make_texture_dataset(name_or_path: str, ds_root=None):
+    """Texture image sets for recording-time randomization — 'shapenet'
+    resolves to <data>/textures/shapenet (the reference downloads ShapeNet
+    textures there, ref: datasets_cfg.py:223-229); any other value is taken
+    as a directory path."""
+    from .texture_dataset import TextureDataset
+
+    p = pathlib.Path(name_or_path)
+    if not p.is_absolute():
+        p = pathlib.Path(ds_root or LOCAL_DATA_DIR) / "textures" / name_or_path
+    return TextureDataset(p)
 
 
 def make_urdf_dataset(ds_name: str, ds_root=None):

@@ -15,9 +15,12 @@ logger = get_logger(__name__)
 
 
 class PoseEvaluation:
-    def __init__(self, scene_ds, meters: dict):
+    def __init__(self, scene_ds, meters: dict, chunk_views: int = 200):
         self.scene_ds = scene_ds
         self.meters = meters
+        # meters accumulate per add(); chunking bounds the pandas working set
+        # at BOP scale (ycbv test = 20k images) instead of one giant merge
+        self.chunk_views = chunk_views
 
     def collect_gt(self):
         gts = []
@@ -30,10 +33,34 @@ class PoseEvaluation:
 
     def evaluate(self, predictions):
         gt = self.collect_gt()
+        # chunk both sides by (scene_id, view_id) groups so each meter.add
+        # works on a bounded frame set; results are identical because every
+        # meter matches strictly within (scene, view) groups
+        gt_keys = gt.infos[["scene_id", "view_id"]].drop_duplicates()
+        keys = list(map(tuple, gt_keys.values.tolist()))
+        pred_key = list(
+            zip(predictions.infos["scene_id"], predictions.infos["view_id"])
+        )
+        gt_key = list(zip(gt.infos["scene_id"], gt.infos["view_id"]))
+        import numpy as np
+
         metrics, dfs = {}, {}
         for name, meter in self.meters.items():
             meter.reset()
-            meter.add(predictions, gt)
+            for start in range(0, len(keys), self.chunk_views):
+                chunk = set(keys[start:start + self.chunk_views])
+                p_ids = np.asarray(
+                    [i for i, k in enumerate(pred_key) if k in chunk], np.int64
+                )
+                g_ids = np.asarray(
+                    [i for i, k in enumerate(gt_key) if k in chunk], np.int64
+                )
+                if len(g_ids) == 0:
+                    continue
+                meter.add(
+                    predictions[p_ids] if len(p_ids) else predictions[p_ids],
+                    gt[g_ids],
+                )
             metrics[name], dfs[name] = meter.summary()
         return metrics, dfs
 

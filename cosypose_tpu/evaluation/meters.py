@@ -79,29 +79,44 @@ def add_valid_gt(gt_infos, group_keys=("scene_id", "view_id", "label"),
 
 def match_poses(cand_infos, group_keys=("scene_id", "view_id", "label")):
     """Greedy 1-1 matching: predictions in descending score order each take
-    their lowest-error unmatched GT (ref: utils.py:99-129)."""
-    matches = []
+    their lowest-error unmatched GT (ref: utils.py:99-129).
+
+    Single lexsorted pass instead of the reference's nested pandas iterrows —
+    O(n log n) with numpy keys; semantics pinned to the reference by
+    tests/test_meter_parity_reference.py.
+    """
     if len(cand_infos) == 0:
         return cand_infos
-    for _, group in cand_infos.groupby(list(group_keys)):
-        gt_matched = set()
-        order = (
-            group.groupby("pred_id", sort=False)
-            .first()
-            .sort_values("score", ascending=False)
-            .index
-        )
-        for pred_id in order:
-            pg = group[group["pred_id"] == pred_id]
-            best_err, best_row = np.inf, None
-            for _, row in pg.iterrows():
-                if row["error"] < best_err and row["gt_id"] not in gt_matched:
-                    best_err, best_row = row["error"], row
-            if best_row is not None:
-                gt_matched.add(best_row["gt_id"])
-                matches.append(best_row)
-    return (pd.DataFrame(matches).reset_index(drop=True)
-            if matches else cand_infos.iloc[:0])
+    df = cand_infos.reset_index(drop=True)
+    gcodes = df.groupby(list(group_keys), sort=False).ngroup().values
+    pred = df["pred_id"].values
+    # first-appearance index of each (group, pred): the reference's tiebreak
+    # for equal scores (groupby(sort=False).first() order)
+    first = df.assign(_row=np.arange(len(df))).groupby(
+        [gcodes, pred], sort=False
+    )["_row"].transform("min").values
+    # row visit order: group, then score desc, then pred first-appearance,
+    # then error asc (np.lexsort: last key is primary)
+    order = np.lexsort(
+        (df["error"].values, first, -df["score"].values, gcodes)
+    )
+    gt = df["gt_id"].values
+    taken_gt = set()
+    done_pred = set()
+    keep = []
+    for i in order:
+        pkey = (gcodes[i], pred[i])
+        if pkey in done_pred:
+            continue
+        gkey = (gcodes[i], gt[i])
+        if gkey in taken_gt:
+            continue
+        taken_gt.add(gkey)
+        done_pred.add(pkey)
+        keep.append(i)
+    if not keep:
+        return cand_infos.iloc[:0]
+    return df.iloc[sorted(keep)].reset_index(drop=True)
 
 
 def compute_auc_posecnn(errors):
@@ -122,6 +137,20 @@ def compute_auc_posecnn(errors):
         mpre[i] = max(mpre[i], mpre[i - 1])
     ids = np.where(mrec[1:] != mrec[:-1])[0] + 1
     return float(((mrec[ids] - mrec[ids - 1]) * mpre[ids]).sum() * 10)
+
+
+def compute_ap(df, n_gt, valid_key="0.1d"):
+    """AP under the reference's protocol (ref: pose_meters.py:264-271):
+    sklearn ``average_precision_score`` over prediction scores, rescaled from
+    sklearn's recall denominator (# true positives among predictions) to the
+    number of ground-truth instances."""
+    y_true = df[valid_key].values.astype(bool)
+    if len(df) == 0 or y_true.sum() == 0 or n_gt <= 0:
+        return 0.0
+    from sklearn.metrics import average_precision_score
+
+    ap = average_precision_score(y_true, df["score"].values)
+    return float(ap * y_true.sum() / n_gt)
 
 
 # ---------------------------------------------------------------------------
@@ -368,20 +397,6 @@ class PoseErrorMeter:
             for label, g in gt_df.groupby("label"):
                 n_gts[label] = int(g["valid"].sum())
 
-        def compute_ap(df, n_gt):
-            df = df.sort_values("score", ascending=False).reset_index(drop=True)
-            y = df["0.1d"].values.astype(np.float64)
-            tp = np.cumsum(y)
-            prec = tp / (np.arange(len(df)) + 1)
-            rec = tp / max(n_gt, 1)
-            # standard AP integration over the PR curve
-            ap = 0.0
-            prev_r = 0.0
-            for p, r in zip(prec, rec):
-                ap += p * max(r - prev_r, 0.0)
-                prev_r = r
-            return ap
-
         ap_per_label = {}
         for label, n_gt in n_gts.items():
             ldf = pred_df[pred_df["label"] == label]
@@ -453,31 +468,33 @@ class DetectionMeter:
 
         gt_infos = add_valid_gt(gt_infos, visib_gt_min=self.visib_gt_min,
                                 targets=self.targets)
-        pred_infos["matched"] = False
-        gt_infos["matched"] = False
+        pred_matched = np.zeros(len(pred_infos), bool)
+        gt_matched = np.zeros(len(gt_infos), bool)
+        all_scores = pred_infos["score"].values
+        all_valid = gt_infos["valid"].values
 
+        pred_groups = pred_infos.groupby(group_keys).groups
         for key, gids in gt_infos.groupby(group_keys).groups.items():
-            pids = pred_infos.groupby(group_keys).groups.get(key)
+            pids = pred_groups.get(key)
             if pids is None:
                 continue
             gids = np.asarray(gids)
             pids = np.asarray(pids)
-            valid_g = gt_infos.loc[gids, "valid"].values
+            valid_g = all_valid[gids]
             iou = box_iou(pred_boxes[pids], gt_boxes[gids])
-            order = np.argsort(-pred_infos.loc[pids, "score"].values)
+            iou[:, ~valid_g] = -1.0
+            order = np.argsort(-all_scores[pids])
             taken = np.zeros(len(gids), bool)
             for oi in order:
-                best, best_iou = -1, self.iou_threshold
-                for gj in range(len(gids)):
-                    if taken[gj] or not valid_g[gj]:
-                        continue
-                    if iou[oi, gj] >= best_iou:
-                        best, best_iou = gj, iou[oi, gj]
-                if best >= 0:
-                    taken[best] = True
-                    pred_infos.loc[pids[oi], "matched"] = True
-                    gt_infos.loc[gids[best], "matched"] = True
+                row = np.where(taken, -1.0, iou[oi])
+                gj = int(np.argmax(row))
+                if row[gj] >= self.iou_threshold:
+                    taken[gj] = True
+                    pred_matched[pids[oi]] = True
+                    gt_matched[gids[gj]] = True
 
+        pred_infos["matched"] = pred_matched
+        gt_infos["matched"] = gt_matched
         self.pred_frames.append(pred_infos)
         self.gt_frames.append(gt_infos)
 
@@ -489,20 +506,9 @@ class DetectionMeter:
         gt_df = pd.concat(self.gt_frames, ignore_index=True) if self.gt_frames else pd.DataFrame()
         n_gt = {l: int(g["valid"].sum()) for l, g in gt_df.groupby("label")}
 
-        def compute_ap(df, n):
-            df = df.sort_values("score", ascending=False)
-            y = df["matched"].values.astype(np.float64)
-            tp = np.cumsum(y)
-            prec = tp / (np.arange(len(df)) + 1)
-            rec = tp / max(n, 1)
-            ap, prev = 0.0, 0.0
-            for p, r in zip(prec, rec):
-                ap += p * max(r - prev, 0.0)
-                prev = r
-            return ap
-
         aps = {
-            l: compute_ap(pred_df[pred_df["label"] == l], n)
+            l: compute_ap(pred_df[pred_df["label"] == l], n,
+                          valid_key="matched")
             for l, n in n_gt.items()
             if n > 0 and (pred_df["label"] == l).any()
         }
@@ -511,7 +517,8 @@ class DetectionMeter:
             n_pred=int(len(pred_df)),
             recall=(float(gt_df[gt_df["valid"]]["matched"].mean())
                     if len(gt_df) and gt_df["valid"].any() else 0.0),
-            AP=compute_ap(pred_df, sum(n_gt.values())) if len(pred_df) else 0.0,
+            AP=(compute_ap(pred_df, sum(n_gt.values()), valid_key="matched")
+                if len(pred_df) else 0.0),
             mAP=float(np.mean(list(aps.values()))) if aps else 0.0,
         )
         return summary, dict(preds=pred_df, gt=gt_df, ap_per_label=aps)

@@ -237,9 +237,16 @@ def build_mesh_db(
                 tricols_l.append(colors.astype(np.float32)[f])
             else:
                 tricols_l.append(np.full((f.shape[0], 3, 3), 0.7, np.float32))
+        diameter_m = spec.diameter_m
+        if diameter_m is None:
+            # max pairwise point distance (BOP diameter definition), computed
+            # once on host from the sampled points
+            sub = pts[:: max(1, pts.shape[0] // 1500)]
+            d2 = ((sub[:, None] - sub[None]) ** 2).sum(-1)
+            diameter_m = float(np.sqrt(d2.max()))
         infos[spec.label] = dict(
             label=spec.label, n_points=pts.shape[0], n_sym=syms.shape[0],
-            diameter_m=spec.diameter_m,
+            diameter_m=diameter_m,
         )
 
     points, valid = _pad_points(points_l, rng)

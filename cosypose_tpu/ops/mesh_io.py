@@ -228,3 +228,46 @@ def decimate_mesh(verts: np.ndarray, faces: np.ndarray,
             return new_verts, new_faces.astype(np.int64), new_colors
         res //= 2
     return new_verts, new_faces.astype(np.int64), new_colors
+
+
+def save_ply(path, vertices: np.ndarray, faces: np.ndarray | None = None,
+             colors: np.ndarray | None = None):
+    """Minimal binary-little-endian PLY writer (vertex [+color] [+face]).
+
+    Round-trips through load_ply; used by asset-prep scripts
+    (the reference leans on trimesh for this, e.g.
+    make_ycbv_compat_models.py:49, not available in this image).
+    """
+    vertices = np.asarray(vertices, np.float32)
+    n_v = len(vertices)
+    header = ["ply", "format binary_little_endian 1.0",
+              f"element vertex {n_v}",
+              "property float x", "property float y", "property float z"]
+    if colors is not None:
+        header += ["property uchar red", "property uchar green",
+                   "property uchar blue"]
+    if faces is not None:
+        header += [f"element face {len(faces)}",
+                   "property list uchar int vertex_indices"]
+    header += ["end_header", ""]
+
+    with open(path, "wb") as f:
+        f.write("\n".join(header).encode())
+        if colors is not None:
+            c = np.clip(np.asarray(colors), 0, 255)
+            if c.max() <= 1.0:
+                c = c * 255.0
+            dt = np.dtype([("xyz", np.float32, 3), ("rgb", np.uint8, 3)])
+            rec = np.empty(n_v, dt)
+            rec["xyz"] = vertices
+            rec["rgb"] = c.astype(np.uint8)
+            f.write(rec.tobytes())
+        else:
+            f.write(vertices.tobytes())
+        if faces is not None:
+            fa = np.asarray(faces, np.int32)
+            dt = np.dtype([("n", np.uint8), ("idx", np.int32, 3)])
+            rec = np.empty(len(fa), dt)
+            rec["n"] = 3
+            rec["idx"] = fa
+            f.write(rec.tobytes())

@@ -56,8 +56,12 @@ def get_pose_meters(mesh_db, obj_ds, n_top=1):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--dataset", required=True)
-    parser.add_argument("--detections", required=True,
-                        help="BOP CSV of candidate detections/poses")
+    parser.add_argument(
+        "--detections", required=True,
+        help="BOP CSV of candidate detections/poses, or one of the saved "
+             "paper-protocol sets: posecnn_init (YCB-V PoseCNN), "
+             "pix2pose_detections / pix2pose_coarse_init (T-LESS)"
+    )
     parser.add_argument("--coarse", default=None)
     parser.add_argument("--refiner", required=True)
     parser.add_argument("--use-detections-tco", action="store_true",
@@ -76,14 +80,32 @@ def main():
     obj_ds = make_object_dataset(f"{args.dataset}.models", ds_root=args.ds_root)
     mesh_db = build_mesh_db(obj_ds.mesh_specs())
 
-    df, poses = csv_to_candidates(args.detections)
-    detections = PandasTensorCollection(df, poses=jnp.asarray(poses))
-    # candidate CSVs carry poses; boxes for coarse init come from reprojection
-    if not args.use_detections_tco:
-        raise SystemExit(
-            "box-seeded eval requires a detections CSV with bboxes; "
-            "use --use-detections-tco to seed from the CSV poses"
+    # saved paper-protocol detections (ref: run_cosypose_eval.py:50-137,
+    # 318-336) or a BOP CSV of candidates
+    if args.detections == "posecnn_init":
+        from ..evaluation.saved_detections import load_posecnn_results
+
+        detections = load_posecnn_results()
+        args.use_detections_tco = True
+    elif args.detections in ("pix2pose_detections", "pix2pose_coarse_init"):
+        from ..evaluation.saved_detections import load_pix2pose_results
+
+        detections = load_pix2pose_results(
+            all_detections=args.nviews > 1,
+            remove_incorrect_poses=args.detections == "pix2pose_coarse_init",
         )
+        if args.detections == "pix2pose_coarse_init":
+            args.use_detections_tco = True
+    else:
+        df, poses = csv_to_candidates(args.detections)
+        detections = PandasTensorCollection(df, poses=jnp.asarray(poses))
+        # candidate CSVs carry poses; boxes for coarse init come from
+        # reprojection
+        if not args.use_detections_tco:
+            raise SystemExit(
+                "box-seeded eval requires a detections CSV with bboxes; "
+                "use --use-detections-tco to seed from the CSV poses"
+            )
 
     refiner = load_pose_model(args.refiner, mesh_db, exp_dir=None)
     coarse = load_pose_model(args.coarse, mesh_db) if args.coarse else None
@@ -96,12 +118,13 @@ def main():
         mv_predictor = MultiviewScenePredictor(mesh_db_aabb)
 
     runner = MultiviewPredictionRunner(
-        ds_multi, n_coarse_iterations=0,
+        ds_multi,
+        n_coarse_iterations=0 if args.use_detections_tco else 1,
         n_refiner_iterations=args.n_refiner_iterations,
     )
     preds = runner.get_predictions(
         predictor, mv_predictor=mv_predictor, detections=detections,
-        use_detections_TCO=True,
+        use_detections_TCO=args.use_detections_tco,
     )
 
     meters = get_pose_meters(mesh_db, obj_ds)

@@ -35,6 +35,7 @@ CONFIGS = dict(
                               camera_distance_interval=(0.45, 1.0),
                               n_objects_interval=(3, 8),
                               min_visible_pixels=150,
+                              n_views_per_scene=10,
                           ))},
 )
 

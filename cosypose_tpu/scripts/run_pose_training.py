@@ -36,15 +36,20 @@ def main():
     obj_ds = make_object_dataset(cfg.object_ds_name, ds_root=args.ds_root)
     mesh_db = build_mesh_db(obj_ds.mesh_specs())
 
-    resize = cfg.train.predictor.render_size
+    resize = tuple(getattr(cfg, "input_resize", (480, 640)))
     train_sets = []
     for ds_name, repeat in cfg.train_ds_names:
         scene_ds = make_scene_dataset(ds_name, ds_root=args.ds_root)
-        train_sets.append((PoseDataset(scene_ds, resize=(480, 640)), repeat))
+        train_sets.append((PoseDataset(scene_ds, resize=resize), repeat))
+    val_sets = []
+    for ds_name, repeat in getattr(cfg, "val_ds_names", ()):
+        scene_ds = make_scene_dataset(ds_name, ds_root=args.ds_root)
+        val_sets.append((PoseDataset(scene_ds, resize=resize,
+                                     apply_rgb_augmentation=False), repeat))
 
     train_pose(
         cfg,
-        scene_datasets={"train": train_sets},
+        scene_datasets={"train": train_sets, "val": val_sets},
         mesh_db=mesh_db,
         resume=args.resume,
         pretrain_run_id=args.pretrain_run_id,

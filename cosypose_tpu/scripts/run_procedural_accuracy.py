@@ -1,0 +1,154 @@
+"""End-to-end accuracy regression on the recorded procedural dataset.
+
+The rebuild's analog of the reference's pinned result tables (T-LESS SiSo
+recall, YCB-V AUC — ref: README.md:233,264-277): evaluate a trained refiner
+checkpoint on held-out recorded frames, comparing the noisy initial poses
+against the refined poses with the internal ADD(-S) meters.
+
+  python -m cosypose_tpu.scripts.run_procedural_accuracy \
+      --run-id procedural-refiner [--n-frames 150] [--n-iterations 4]
+
+Prints an init→refined table and writes <results>/procedural-accuracy.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..config import EXP_DIR, RESULTS_DIR
+from ..data.datasets_cfg import make_scene_dataset
+from ..data.procedural_objects import ProceduralObjectDataset
+from ..integrated.pose_predictor import CoarseRefinePosePredictor, LoadedPoseModel
+from ..evaluation.meters import PoseErrorMeter
+from ..models.pose_predictor import PosePredictor
+from ..ops.mesh_db import build_mesh_db
+from ..ops.transforms import add_pose_noise
+from ..training.checkpoint import latest_checkpoint, load_checkpoint
+from ..training.configs import make_cfg
+from ..utils.tensor_collection import PandasTensorCollection
+from ..utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def collect_gt(ds, n_frames: int):
+    """First n_frames of the dataset → images, K, and per-object GT rows."""
+    images, Ks, rows, TCO = [], [], [], []
+    n = min(n_frames, len(ds))
+    for i in range(n):
+        rgb, _, obs = ds[i]
+        cam = obs["camera"]
+        TCW = np.linalg.inv(np.asarray(cam["TWC"], np.float64))
+        images.append(np.moveaxis(rgb, -1, 0).astype(np.float32) / 255.0)
+        Ks.append(np.asarray(cam["K"], np.float32))
+        for obj in obs["objects"]:
+            rows.append(
+                dict(
+                    scene_id=int(obs["frame_info"]["scene_id"]),
+                    view_id=int(obs["frame_info"]["view_id"]),
+                    label=obj["label"],
+                    visib_fract=float(obj.get("visib_fract", 1.0)),
+                    batch_im_id=i,
+                    score=1.0,
+                )
+            )
+            TCO.append((TCW @ np.asarray(obj["TWO"], np.float64)).astype(
+                np.float32))
+    infos = pd.DataFrame(rows)
+    return (np.stack(images), np.stack(Ks), infos,
+            np.stack(TCO).astype(np.float32))
+
+
+def evaluate(mesh_db, infos, poses, gt_infos, gt_poses, error_type="ADD(-S)"):
+    meter = PoseErrorMeter(
+        mesh_db, error_type=error_type, report_error_AUC=True,
+        report_error_stats=True,
+    )
+    meter.add(
+        PandasTensorCollection(infos.copy(), poses=jnp.asarray(poses)),
+        PandasTensorCollection(gt_infos.copy(), poses=jnp.asarray(gt_poses)),
+    )
+    summary = meter.summary()
+    if isinstance(summary, tuple):
+        summary = summary[0]
+    return summary
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--run-id", default="procedural-refiner")
+    parser.add_argument("--config", default=None,
+                        help="training config name (default: --run-id)")
+    parser.add_argument("--dataset", default="synthetic.procedural-4k.val")
+    parser.add_argument("--n-frames", type=int, default=150)
+    parser.add_argument("--n-iterations", type=int, default=4)
+    parser.add_argument("--noise-seed", type=int, default=0)
+    parser.add_argument("--out", default=None)
+    args = parser.parse_args(argv)
+
+    cfg = make_cfg(args.config or args.run_id)
+    mesh_db = build_mesh_db(ProceduralObjectDataset().mesh_specs())
+
+    ckpt = latest_checkpoint(EXP_DIR / args.run_id)
+    assert ckpt is not None, f"no checkpoint under {EXP_DIR / args.run_id}"
+    payload = load_checkpoint(ckpt)
+    pp = PosePredictor(cfg.train.predictor)
+    variables = {"params": payload["params"],
+                 "batch_stats": payload["batch_stats"]}
+    model = LoadedPoseModel(predictor=pp, variables=variables, mesh_db=mesh_db)
+    predictor = CoarseRefinePosePredictor(refiner_model=model)
+
+    ds = make_scene_dataset(args.dataset)
+    images, K, gt_infos, TCO_gt = collect_gt(ds, args.n_frames)
+    logger.info(f"{len(gt_infos)} GT objects over {images.shape[0]} frames")
+
+    # the training-time input distribution: noisy GT (gt+noise generator)
+    TCO_init = np.asarray(
+        add_pose_noise(
+            jax.random.PRNGKey(args.noise_seed), jnp.asarray(TCO_gt),
+            euler_deg_std=(15.0, 15.0, 15.0), trans_std=(0.01, 0.01, 0.05),
+        )
+    )
+
+    obj_data = PandasTensorCollection(
+        gt_infos.copy(), poses=jnp.asarray(TCO_init)
+    )
+    preds = predictor.batched_model_predictions(
+        model, images, K, obj_data, n_iterations=args.n_iterations
+    )
+    refined = np.asarray(preds[f"iteration={args.n_iterations}"].poses)
+
+    results = {}
+    for name, poses in (("init", TCO_init), ("refined", refined)):
+        s = evaluate(mesh_db, gt_infos, poses, gt_infos, TCO_gt)
+        results[name] = {
+            k: (float(v) if isinstance(v, (int, float, np.floating)) else v)
+            for k, v in s.items()
+            if isinstance(v, (int, float, np.floating))
+        }
+        logger.info(
+            f"{name:8s}: AUC={s['AUC']:.4f} "
+            f"AUC/objects={s['AUC/objects/mean']:.4f} 0.1d={s['0.1d']:.4f}"
+        )
+
+    out = args.out or (RESULTS_DIR / f"procedural-accuracy-{args.run_id}.json")
+    RESULTS_DIR.mkdir(parents=True, exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(
+            dict(run_id=args.run_id, dataset=args.dataset,
+                 n_frames=int(images.shape[0]), n_objects=int(len(gt_infos)),
+                 n_iterations=args.n_iterations, results=results),
+            f, indent=2,
+        )
+    logger.info(f"wrote {out}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,7 @@ class RunConfig:
     val_epoch_interval: int = 10
     test_epoch_interval: int = 30
     save_epoch_interval: int = 1
+    input_resize: tuple = (480, 640)  # dataset image size fed to the model
 
 
 # BOP dataset training configs are generated from this table
@@ -63,6 +64,33 @@ def make_cfg(config_name: str, debug: bool = False) -> RunConfig:
         cfg.train_ds_names = (("synthetic.ycbv-1M.train", 1),
                               ("ycbv.train.synt.real", 3))
         cfg.object_ds_name = "ycbv.bop-compat"
+    elif config_name in ("procedural-coarse", "procedural-refiner"):
+        # Data-free end-to-end regression configs: short schedule over the
+        # recorded procedural pile dataset (scripts/run_dataset_recording
+        # --config procedural). Used by the framework's own accuracy loop —
+        # the rebuild's analog of the reference's pinned T-LESS numbers
+        # (ref README.md:264-277).
+        import jax.numpy as jnp
+
+        kind = config_name.split("-")[1]
+        small = dataclasses.replace(
+            predictor, compute_dtype=jnp.bfloat16,
+        )
+        if kind == "coarse":
+            cfg = base(config_name, predictor=small,
+                       input_generator="fixed+trans_noise", n_iterations=1,
+                       epoch_size=3200, n_epochs=40, n_epochs_warmup=2,
+                       n_points_loss=600)
+        else:
+            cfg = base(config_name, predictor=small,
+                       input_generator="gt+noise", n_iterations=3,
+                       epoch_size=3200, n_epochs=40, n_epochs_warmup=2,
+                       n_points_loss=600)
+        cfg.train_ds_names = (("synthetic.procedural-4k.train", 1),)
+        cfg.val_ds_names = (("synthetic.procedural-4k.val", 1),)
+        cfg.object_ds_name = "procedural"
+        cfg.input_resize = (240, 320)
+        cfg.val_epoch_interval = 5
     elif config_name.startswith("bop-"):
         # bop-<ds>-{pbr|synt+real}-{coarse|refiner}
         parts = config_name.split("-")
