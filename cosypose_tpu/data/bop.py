@@ -156,7 +156,13 @@ class BOPDataset:
                 depth *= cam.get("depth_scale", 1.0) / 1000.0  # mm → m
                 camera["depth"] = depth
 
-        mask = np.zeros((h, w), dtype=np.int32)
+        # fast path: a precomputed aggregate id mask (<view>_all.png from
+        # scripts/preprocess_bop_dataset.py) replaces N per-object file reads
+        all_mask_path = scene_dir / "mask_visib" / f"{view_id:06d}_all.png"
+        if all_mask_path.exists():
+            mask = _imread(all_mask_path).astype(np.int32)
+        else:
+            mask = np.zeros((h, w), dtype=np.int32)
         objects = []
         gt_path = scene_dir / "scene_gt.json"
         if gt_path.exists():
@@ -184,12 +190,13 @@ class BOPDataset:
                     obj["bbox"] = np.asarray([x, y, x + bw, y + bh], np.float32)
                 objects.append(obj)
 
-                mask_path = (
-                    scene_dir / "mask_visib" / f"{view_id:06d}_{n:06d}.png"
-                )
-                if mask_path.exists():
-                    m = _imread(mask_path)
-                    mask[m > 0] = n + 1
+                if not all_mask_path.exists():
+                    mask_path = (
+                        scene_dir / "mask_visib" / f"{view_id:06d}_{n:06d}.png"
+                    )
+                    if mask_path.exists():
+                        m = _imread(mask_path)
+                        mask[m > 0] = n + 1
 
         obs = dict(
             objects=objects,

@@ -92,6 +92,7 @@ class DetectionDataset:
         obj_mask = np.zeros((self.max_objects,), bool)
         boxes = np.zeros((self.max_objects, 4), np.float32)
         classes = np.zeros((self.max_objects,), np.int64)
+        inst_masks = np.zeros((self.max_objects, Hm, Wm), np.uint8)
 
         n = 0
         for o in s.obs["objects"]:
@@ -122,6 +123,12 @@ class DetectionDataset:
             obj_mask[n] = True
             boxes[n] = bbox
             classes[n] = cat
+            # per-instance visible mask at head resolution (trains the YOLACT
+            # coefficient head; ref's maskrcnn mask loss is per-instance too)
+            seg_id = o.get("id_in_segm")
+            if seg_id is not None:
+                m = (s.mask == seg_id)[:: self.stride, :: self.stride]
+                inst_masks[n, : m.shape[0], : m.shape[1]] = m
             n += 1
 
         return dict(
@@ -134,6 +141,7 @@ class DetectionDataset:
             boxes=boxes,
             classes=classes,
             seg_mask=(s.mask > 0),
+            inst_masks=inst_masks,
         )
 
     @staticmethod

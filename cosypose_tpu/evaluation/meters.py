@@ -139,6 +139,50 @@ def compute_auc_posecnn(errors):
     return float(((mrec[ids] - mrec[ids - 1]) * mpre[ids]).sum() * 10)
 
 
+def _gather_frame_lists(frame_lists: dict, gather_dir, process_id=None,
+                        n_processes=None, timeout_s: float = 600.0):
+    """File-based all-gather of per-process meter frame lists.
+
+    Every process publishes its accumulated pandas frames to
+    <gather_dir>/<pid>.pkl and polls for the rest — the capability match for
+    the reference's shared-FS meter gather (ref: meters/base.py:21-45).
+    Returns the merged dict (process order), or None when single-process.
+    """
+    import pathlib
+    import pickle
+    import time
+
+    import jax
+
+    if process_id is None:
+        process_id = jax.process_index()
+    if n_processes is None:
+        n_processes = jax.process_count()
+    if n_processes == 1:
+        return None
+
+    gather_dir = pathlib.Path(gather_dir)
+    gather_dir.mkdir(parents=True, exist_ok=True)
+    tmp = gather_dir / f"{process_id}.pkl.tmp"
+    tmp.write_bytes(pickle.dumps(frame_lists))
+    tmp.rename(gather_dir / f"{process_id}.pkl")
+
+    deadline = time.time() + timeout_s
+    paths = [gather_dir / f"{p}.pkl" for p in range(n_processes)]
+    while not all(p.exists() for p in paths):
+        if time.time() > deadline:
+            missing = [str(p) for p in paths if not p.exists()]
+            raise TimeoutError(f"meter gather timed out: missing {missing}")
+        time.sleep(0.05)
+
+    merged = {k: [] for k in frame_lists}
+    for p in paths:
+        shard = pickle.loads(p.read_bytes())
+        for k in merged:
+            merged[k].extend(shard[k])
+    return merged
+
+
 def compute_ap(df, n_gt, valid_key="0.1d"):
     """AP under the reference's protocol (ref: pose_meters.py:264-271):
     sklearn ``average_precision_score`` over prediction scores, rescaled from
@@ -373,6 +417,21 @@ class PoseErrorMeter:
     def gather_distributed(self, *a, **k):
         return self  # single-controller JAX: all shards already local
 
+    def gather_multihost(self, gather_dir, process_id=None, n_processes=None,
+                         timeout_s: float = 600.0):
+        """Merge accumulated frames across processes via a shared filesystem
+        (ref: evaluation/meters/base.py:21-45 file-based meter gather)."""
+        frames = _gather_frame_lists(
+            dict(gt=self.gt_frames, pred=self.pred_frames,
+                 match=self.match_frames),
+            gather_dir, process_id, n_processes, timeout_s,
+        )
+        if frames is not None:
+            self.gt_frames = frames["gt"]
+            self.pred_frames = frames["pred"]
+            self.match_frames = frames["match"]
+        return self
+
     def summary(self):
         gt_df = pd.concat(self.gt_frames, ignore_index=True) if self.gt_frames else pd.DataFrame()
         pred_df = pd.concat(self.pred_frames, ignore_index=True) if self.pred_frames else pd.DataFrame()
@@ -499,6 +558,17 @@ class DetectionMeter:
         self.gt_frames.append(gt_infos)
 
     def gather_distributed(self, *a, **k):
+        return self
+
+    def gather_multihost(self, gather_dir, process_id=None, n_processes=None,
+                         timeout_s: float = 600.0):
+        frames = _gather_frame_lists(
+            dict(gt=self.gt_frames, pred=self.pred_frames),
+            gather_dir, process_id, n_processes, timeout_s,
+        )
+        if frames is not None:
+            self.gt_frames = frames["gt"]
+            self.pred_frames = frames["pred"]
         return self
 
     def summary(self):

@@ -11,6 +11,7 @@ import argparse
 import pathlib
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..bop_config import BOP_CONFIG
@@ -32,33 +33,89 @@ from ..utils.logging import get_logger
 logger = get_logger(__name__)
 
 
+def _load_pretrain_params(state, run_id, exp_dir=None):
+    """Init matching param subtrees from another run's checkpoint.
+
+    The capability match for the reference's COCO-pretrained init, which
+    loads the pretrained state_dict minus the class-count-dependent heads
+    (ref: training/train_detector.py:198-203): every leaf whose path AND
+    shape match is copied; heads with different shapes keep their fresh init.
+    """
+    from ..training.checkpoint import latest_checkpoint, load_checkpoint
+
+    ckpt = latest_checkpoint(pathlib.Path(exp_dir or EXP_DIR) / run_id)
+    assert ckpt is not None, f"no checkpoint for pretrain run {run_id}"
+    payload = load_checkpoint(ckpt)
+
+    import jax.tree_util as jtu
+
+    src = {jtu.keystr(p): v for p, v in
+           jtu.tree_flatten_with_path(payload["params"])[0]}
+    n_loaded = 0
+
+    def merge(path, v):
+        nonlocal n_loaded
+        key = jtu.keystr(path)
+        sv = src.get(key)
+        if sv is not None and np.shape(sv) == np.shape(v):
+            n_loaded += 1
+            return jnp.asarray(sv)
+        return v
+
+    params = jtu.tree_map_with_path(merge, state.params)
+    logger.info(f"pretrain {run_id}: loaded {n_loaded} matching param leaves")
+    return state.replace(params=params)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True,
-                        help="e.g. detector-bop-ycbv-pbr")
+                        help="e.g. detector-bop-ycbv-pbr, detector-procedural")
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--ds-root", default=None)
+    parser.add_argument("--pretrain-run-id", default=None,
+                        help="init backbone/neck from this run's checkpoint "
+                             "(shape-matching leaves only)")
+    parser.add_argument("--n-epochs", type=int, default=None)
     args = parser.parse_args()
 
-    # config name: detector-bop-<ds>-{pbr|synt+real}
-    parts = args.config.split("-")
-    ds = parts[2]
-    data = parts[3]
-    bop = BOP_CONFIG[ds]
-    obj_ds = make_object_dataset(bop["obj_ds_name"], ds_root=args.ds_root)
-    label_to_cat = {o["label"]: i for i, o in enumerate(obj_ds.objects)}
+    if args.config == "detector-procedural":
+        # data-free end-to-end config over the recorded procedural set
+        from ..data.procedural_objects import ProceduralObjectDataset
 
-    h, w = bop["input_resize"][1], bop["input_resize"][0]
-    tcfg = DetectorTrainConfig(
-        detector=DetectorConfig(n_classes=len(label_to_cat)),
-        batch_size=4 if args.debug else 16,
-        epoch_size=32 if args.debug else 115200,
-        n_epochs=2 if args.debug else 200,
-    )
-    split = (bop["train_pbr_ds_name"][0] if data == "pbr"
-             else bop["train_synt_real_ds_names"][0][0])
-    scene_ds = make_scene_dataset(split, ds_root=args.ds_root)
-    det_ds = DetectionDataset(scene_ds, label_to_cat, resize=(h, w))
+        obj_ds = ProceduralObjectDataset()
+        label_to_cat = {l: i for i, l in enumerate(obj_ds.labels)}
+        h, w = 240, 320
+        tcfg = DetectorTrainConfig(
+            detector=DetectorConfig(n_classes=len(label_to_cat)),
+            batch_size=4 if args.debug else 16,
+            epoch_size=32 if args.debug else 3200,
+            n_epochs=2 if args.debug else (args.n_epochs or 30),
+            n_epochs_warmup=1,
+        )
+        scene_ds = make_scene_dataset("synthetic.procedural-4k.train",
+                                      ds_root=args.ds_root)
+        det_ds = DetectionDataset(scene_ds, label_to_cat, resize=(h, w))
+    else:
+        # config name: detector-bop-<ds>-{pbr|synt+real}
+        parts = args.config.split("-")
+        ds = parts[2]
+        data = parts[3]
+        bop = BOP_CONFIG[ds]
+        obj_ds = make_object_dataset(bop["obj_ds_name"], ds_root=args.ds_root)
+        label_to_cat = {o["label"]: i for i, o in enumerate(obj_ds.objects)}
+
+        h, w = bop["input_resize"][1], bop["input_resize"][0]
+        tcfg = DetectorTrainConfig(
+            detector=DetectorConfig(n_classes=len(label_to_cat)),
+            batch_size=4 if args.debug else 16,
+            epoch_size=32 if args.debug else 115200,
+            n_epochs=2 if args.debug else (args.n_epochs or 200),
+        )
+        split = (bop["train_pbr_ds_name"][0] if data == "pbr"
+                 else bop["train_synt_real_ds_names"][0][0])
+        scene_ds = make_scene_dataset(split, ds_root=args.ds_root)
+        det_ds = DetectionDataset(scene_ds, label_to_cat, resize=(h, w))
 
     run_dir = pathlib.Path(EXP_DIR) / args.config
     run_dir.mkdir(parents=True, exist_ok=True)
@@ -68,6 +125,8 @@ def main():
     model, state = create_detector_train_state(
         tcfg, jax.random.PRNGKey(0), image_size=(h, w)
     )
+    if args.pretrain_run_id:
+        state = _load_pretrain_params(state, args.pretrain_run_id)
     step_fn = make_detector_train_step(model, tcfg)
 
     rng = jax.random.PRNGKey(1)

@@ -22,6 +22,14 @@ logger = get_logger(__name__)
 
 
 def main():
+    import jax
+
+    # persistent compile cache: the B3 train step costs minutes to compile
+    # through the TPU tunnel; restarts/resumes should not pay it again
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/cosypose_tpu_train_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True,
                         help="e.g. tless-coarse, bop-ycbv-pbr-refiner")
@@ -40,7 +48,12 @@ def main():
     train_sets = []
     for ds_name, repeat in cfg.train_ds_names:
         scene_ds = make_scene_dataset(ds_name, ds_root=args.ds_root)
-        train_sets.append((PoseDataset(scene_ds, resize=resize), repeat))
+        train_sets.append(
+            (PoseDataset(
+                scene_ds, resize=resize,
+                apply_rgb_augmentation=getattr(cfg, "rgb_augmentation", True),
+            ), repeat)
+        )
     val_sets = []
     for ds_name, repeat in getattr(cfg, "val_ds_names", ()):
         scene_ds = make_scene_dataset(ds_name, ds_root=args.ds_root)

@@ -28,6 +28,7 @@ class RunConfig:
     test_epoch_interval: int = 30
     save_epoch_interval: int = 1
     input_resize: tuple = (480, 640)  # dataset image size fed to the model
+    rgb_augmentation: bool = True     # train-time photometric augmentation
 
 
 # BOP dataset training configs are generated from this table
@@ -43,16 +44,35 @@ def make_cfg(config_name: str, debug: bool = False) -> RunConfig:
         t = dataclasses.replace(train, **kw)
         return RunConfig(run_id=run_id, train=t)
 
-    if config_name == "tless-coarse":
-        cfg = base("tless-coarse", input_generator="fixed", n_iterations=1)
+    if config_name.startswith("tless-coarse") or config_name.startswith(
+        "tless-refiner"
+    ):
+        # tless-{coarse|refiner}[-ablation-{loss|network|rot|augm}]
+        # (ref: scripts/run_pose_training.py:134-167)
+        kind = "coarse" if config_name.startswith("tless-coarse") else "refiner"
+        kw = dict(
+            input_generator="fixed" if kind == "coarse" else "gt+noise",
+            n_iterations=1 if kind == "coarse" else 3,
+        )
+        rgb_augmentation = True
+        if config_name.endswith("-ablation-loss"):
+            kw["loss_disentangled"] = False
+        elif config_name.endswith("-ablation-network"):
+            kw["predictor"] = dataclasses.replace(predictor,
+                                                  backbone="flownet")
+        elif config_name.endswith("-ablation-rot"):
+            kw["predictor"] = dataclasses.replace(predictor, pose_dim=7)
+        elif config_name.endswith("-ablation-augm"):
+            rgb_augmentation = False
+        elif config_name not in ("tless-coarse", "tless-refiner"):
+            raise ValueError(f"Unknown config {config_name}")
+        cfg = base(config_name, **kw)
         cfg.train_ds_names = (("synthetic.tless-1M.train", 1),
                               ("tless.primesense.train", 5))
+        cfg.val_ds_names = (("synthetic.tless-1M.val", 1),)
         cfg.object_ds_name = "tless.cad"
-    elif config_name == "tless-refiner":
-        cfg = base("tless-refiner", input_generator="gt+noise", n_iterations=3)
-        cfg.train_ds_names = (("synthetic.tless-1M.train", 1),
-                              ("tless.primesense.train", 5))
-        cfg.object_ds_name = "tless.cad"
+        cfg.input_resize = (540, 720)
+        cfg.rgb_augmentation = rgb_augmentation
     elif config_name == "ycbv-refiner-syntonly":
         cfg = base("ycbv-refiner-syntonly", input_generator="gt+noise",
                    n_iterations=3)

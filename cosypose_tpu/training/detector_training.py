@@ -88,6 +88,22 @@ def detector_loss(model: CenterNetDetector, cfg: DetectorTrainConfig, params,
     proto_fg = outputs["protos"].mean(-1)
     l_mask = optax.sigmoid_binary_cross_entropy(proto_fg, seg_small).mean()
 
+    # per-INSTANCE mask loss: coefficients gathered at each GT center combine
+    # the prototypes into that instance's mask (the capability match for
+    # MaskRCNN's per-roi mask head, ref: maskrcnn_forward_loss.py loss_mask)
+    if "inst_masks" in batch:
+        coeffs = gather_at(outputs["mask_coeffs"], batch["inds"])  # (B,N,P)
+        inst_logits = jnp.einsum(
+            "bnp,bhwp->bnhw", coeffs, outputs["protos"]
+        )
+        inst_gt = batch["inst_masks"].astype(jnp.float32)  # (B,N,Hm,Wm)
+        bce = optax.sigmoid_binary_cross_entropy(inst_logits, inst_gt)
+        mvalid = batch["obj_mask"][..., None, None].astype(jnp.float32)
+        l_inst = (bce * mvalid).mean(axis=(2, 3)).sum() / jnp.maximum(
+            batch["obj_mask"].sum(), 1.0
+        )
+        l_mask = l_mask + l_inst
+
     loss = (
         cfg.w_heatmap * l_heat
         + cfg.w_wh * l_wh

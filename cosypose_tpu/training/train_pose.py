@@ -177,6 +177,9 @@ def train_pose(cfg, scene_datasets=None, mesh_db=None, resume: bool = False,
             n_workers=max(cfg.n_dataloader_workers, 1),
         )
         acc = MetricsAccumulator()
+        import time as _time
+
+        t_last, n_steps = _time.time(), 0
         for batch in loader:
             rng, step_rng = jax.random.split(rng)
             device_batch = dict(
@@ -192,6 +195,13 @@ def train_pose(cfg, scene_datasets=None, mesh_db=None, resume: bool = False,
                 device_batch = shard_batch(mesh, device_batch)
             state, metrics = step_fn(state, device_batch, step_rng)
             acc.add({k: float(v) for k, v in metrics.items()})
+            n_steps += 1
+            if _time.time() - t_last > 60.0:
+                logger.info(
+                    f"epoch {epoch}: step {n_steps}, "
+                    f"loss {float(metrics['loss_total']):.4f}"
+                )
+                t_last = _time.time()
 
         record = run_logger.append(epoch, acc.means())
         logger.info(f"epoch {epoch}: {record}")

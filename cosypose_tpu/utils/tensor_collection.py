@@ -18,6 +18,7 @@ candidates → BA scene; SURVEY.md §2.1). TPU-native differences:
 
 from __future__ import annotations
 
+import pathlib
 from typing import Iterable
 
 import jax
@@ -148,6 +149,59 @@ class PandasTensorCollection(TensorCollection):
         for k, v in self._tensors.items():
             out[k] = jax.device_put(v, NamedSharding(mesh, P()))
         return PandasTensorCollection(self.infos, **out)
+
+    def gather_multihost(self, gather_dir, process_id=None, n_processes=None,
+                         timeout_s: float = 600.0):
+        """Shared-filesystem gather of RAGGED per-process collections.
+
+        The capability match for the reference's file-based distributed
+        gather (ref: cosypose/utils/tensor_collection.py:142-163 +
+        utils/distributed.py): every process writes its shard (infos + numpy
+        tensors) to <gather_dir>/<pid>.pkl atomically, polls until all shards
+        exist, then returns the row-concatenation in process order. No
+        collective is required — ragged host metadata cannot ride ICI — so
+        this also works before/without jax.distributed initialization.
+        """
+        import pickle
+        import time
+
+        if process_id is None:
+            process_id = jax.process_index()
+        if n_processes is None:
+            n_processes = jax.process_count()
+        if n_processes == 1:
+            return self
+
+        gather_dir = pathlib.Path(gather_dir)
+        gather_dir.mkdir(parents=True, exist_ok=True)
+        payload = dict(
+            infos=self.infos,
+            tensors={k: np.asarray(v) for k, v in self._tensors.items()},
+        )
+        tmp = gather_dir / f"{process_id}.pkl.tmp"
+        final = gather_dir / f"{process_id}.pkl"
+        tmp.write_bytes(pickle.dumps(payload))
+        tmp.rename(final)  # atomic publish
+
+        deadline = time.time() + timeout_s
+        paths = [gather_dir / f"{p}.pkl" for p in range(n_processes)]
+        while not all(p.exists() for p in paths):
+            if time.time() > deadline:
+                missing = [str(p) for p in paths if not p.exists()]
+                raise TimeoutError(f"gather timed out waiting for {missing}")
+            time.sleep(0.05)
+
+        shards = [pickle.loads(p.read_bytes()) for p in paths]
+        infos = pd.concat(
+            [s["infos"] for s in shards], axis=0, sort=False
+        ).reset_index(drop=True)
+        tensors = {
+            k: jnp.asarray(
+                np.concatenate([s["tensors"][k] for s in shards], axis=0)
+            )
+            for k in shards[0]["tensors"]
+        }
+        return PandasTensorCollection(infos, **tensors)
 
     def __repr__(self):
         return (
