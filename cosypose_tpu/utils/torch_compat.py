@@ -124,3 +124,25 @@ def convert_pose_checkpoint(torch_state_dict, variant: str = "efficientnet-b3"):
     }
     batch_stats = {"EfficientNet_0": bb_stats}
     return {"params": params, "batch_stats": batch_stats}
+
+
+def convert_flownet_state_dict(state_dict):
+    """Torch FlowNetS encoder weights → FlowNetSEncoder flax params.
+
+    The reference initializes its FlowNetS ablation backbone from the
+    published flownets_EPE1.951.pth.tar checkpoint, keeping only the
+    contracting convs (ref: cosypose/models/flownet.py:121-128). Torch
+    modules are Sequential(conv, leaky_relu) so weights live at
+    '<name>.0.weight'/'<name>.0.bias'.
+    """
+    names = ["conv1", "conv2", "conv3", "conv3_1", "conv4", "conv4_1",
+             "conv5", "conv5_1", "conv6", "conv6_1"]
+    params = {}
+    for name in names:
+        w = state_dict[f"{name}.0.weight"]
+        b = state_dict[f"{name}.0.bias"]
+        params[name] = dict(
+            kernel=_conv_kernel(w),
+            bias=np.asarray(b, np.float32),
+        )
+    return {"params": params}

@@ -3,6 +3,8 @@ import jax.numpy as jnp
 import pandas as pd
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from cosypose_tpu.multiview import (
     multiview_candidate_matching,
     make_view_groups,

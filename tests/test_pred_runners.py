@@ -1,5 +1,9 @@
 """End-to-end prediction-runner tests over the synthetic BOP fixture."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -1,3 +1,6 @@
+import pytest
+
+pytestmark = pytest.mark.slow
 import numpy as np
 
 from cosypose_tpu.data.bop import BOPDataset

@@ -1,5 +1,9 @@
 """End-to-end tests of the CLI surface (custom scenario, viz, multichip smoke)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import json
 
 import numpy as np

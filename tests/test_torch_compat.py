@@ -11,6 +11,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax.numpy as jnp
 
 from cosypose_tpu.models.efficientnet import EfficientNet
@@ -85,3 +87,57 @@ def test_pose_head_conversion(reference_model):
         pooled = feats.flatten(2).mean(dim=-1)
         ref_out = (pooled @ fc_w.T + fc_b).numpy()
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=5e-3, rtol=1e-3)
+
+
+def test_flownet_pretrained_conversion_parity():
+    """FlowNetS encoder: torch weights → flax, numerical output parity.
+
+    Builds the reference's conv stack in torch (Sequential(conv, leaky_relu),
+    ref: cosypose/models/flownet.py:63-76), randomizes weights as a stand-in
+    for flownets_EPE1.951.pth.tar, converts, and compares features.
+    """
+    import numpy as np
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    from cosypose_tpu.models.wide_resnet import FlowNetSEncoder
+    from cosypose_tpu.utils.torch_compat import convert_flownet_state_dict
+
+    tnn = torch.nn
+
+    def conv(cin, cout, k=3, s=1):
+        return tnn.Sequential(
+            tnn.Conv2d(cin, cout, kernel_size=k, stride=s,
+                       padding=(k - 1) // 2, bias=True),
+            tnn.LeakyReLU(0.1, inplace=True),
+        )
+
+    torch.manual_seed(0)
+    layers = dict(
+        conv1=conv(6, 64, 7, 2), conv2=conv(64, 128, 5, 2),
+        conv3=conv(128, 256, 5, 2), conv3_1=conv(256, 256),
+        conv4=conv(256, 512, s=2), conv4_1=conv(512, 512),
+        conv5=conv(512, 512, s=2), conv5_1=conv(512, 512),
+        conv6=conv(512, 1024, s=2), conv6_1=conv(1024, 1024),
+    )
+    model = tnn.ModuleDict(layers).eval()
+    state_dict = model.state_dict()  # keys like 'conv1.0.weight'
+
+    x = np.random.RandomState(0).uniform(-1, 1, (2, 6, 64, 64)).astype(
+        np.float32)
+    with torch.no_grad():
+        t = torch.tensor(x)
+        for name in ["conv1", "conv2", "conv3", "conv3_1", "conv4",
+                     "conv4_1", "conv5", "conv5_1", "conv6", "conv6_1"]:
+            t = layers[name](t)
+        ref_out = t.numpy()
+
+    variables = convert_flownet_state_dict(state_dict)
+    variables = jax.tree.map(jnp.asarray, variables)
+    enc = FlowNetSEncoder()
+    ours = enc.apply(variables, jnp.asarray(np.moveaxis(x, 1, -1)))
+    ours = np.moveaxis(np.asarray(ours), -1, 1)
+    np.testing.assert_allclose(ours, ref_out, atol=2e-4)

@@ -6,6 +6,8 @@ import json
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from cosypose_tpu.data.bop import BOPDataset, BOPObjectDataset
 from cosypose_tpu.data.pose_dataset import PoseDataset
 from cosypose_tpu.models import PosePredictorConfig
