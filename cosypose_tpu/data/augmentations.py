@@ -104,6 +104,18 @@ class BackgroundAugmentation:
         return SceneObservation(rgb, s.mask, s.obs)
 
 
+class VOCBackgroundAugmentation(BackgroundAugmentation):
+    """Background paste from a VOC-style devkit tree
+    (ref: augmentations.py:128-135 — VOCdevkit/VOC2012/JPEGImages)."""
+
+    def __init__(self, voc_root, p=0.3, rng=None):
+        import pathlib
+
+        jpeg_dir = pathlib.Path(voc_root) / "JPEGImages"
+        paths = sorted(jpeg_dir.glob("*.jpg")) if jpeg_dir.exists() else []
+        super().__init__(paths, p=p, rng=rng)
+
+
 class _PillowJitter:
     def __init__(self, p, factor_interval, op):
         self.p = p

@@ -23,6 +23,12 @@ import numpy as np
 import pandas as pd
 
 
+def _deepcopy_obs(obs):
+    import copy
+
+    return copy.deepcopy(obs)
+
+
 def _load_json(path):
     with open(path) as f:
         return json.load(f)
@@ -89,10 +95,15 @@ class BOPObjectDataset:
 class BOPDataset:
     """Scene dataset over a BOP split directory (ref: cosypose/datasets/bop.py:58-169)."""
 
-    def __init__(self, ds_dir, split: str = "train", load_depth: bool = False):
+    def __init__(self, ds_dir, split: str = "train", load_depth: bool = False,
+                 cache_in_memory: bool = False):
         self.ds_dir = pathlib.Path(ds_dir)
         self.split_dir = self.ds_dir / split
         self.split = split
+        # in-RAM frame cache: recorded regression sets are a few hundred MB
+        # while the 1-core loader is the training bottleneck otherwise
+        self.cache_in_memory = cache_in_memory
+        self._cache = {}
         self.load_depth = load_depth
         assert self.split_dir.exists(), f"missing split dir {self.split_dir}"
         self.frame_index = self._build_index()
@@ -126,6 +137,19 @@ class BOPDataset:
         return self.split_dir / f"{scene_id:06d}"
 
     def __getitem__(self, idx):
+        if self.cache_in_memory:
+            hit = self._cache.get(idx)
+            if hit is not None:
+                rgb, mask, obs = hit
+                return rgb.copy(), mask.copy(), _deepcopy_obs(obs)
+        item = self._load_item(idx)
+        if self.cache_in_memory:
+            rgb, mask, obs = item
+            self._cache[idx] = (rgb, mask, obs)
+            return rgb.copy(), mask.copy(), _deepcopy_obs(obs)
+        return item
+
+    def _load_item(self, idx):
         row = self.frame_index.iloc[idx]
         scene_id, view_id = int(row["scene_id"]), int(row["view_id"])
         scene_dir = self._scene_dir(scene_id)

@@ -45,6 +45,9 @@ def make_scene_dataset(ds_name: str, ds_root=None, load_depth: bool = False):
             pathlib.Path(ds_root or LOCAL_DATA_DIR) / "synt_datasets" / sub
         )
         ds = BOPDataset(ds_dir, split="train_synt", load_depth=load_depth)
+        # small recorded sets: keep decoded frames in RAM (the 1-core image
+        # loader is otherwise the training bottleneck)
+        ds.cache_in_memory = len(ds) <= 20_000
         split_file = ds_dir / "split_keys.json"
         if split_file.exists():
             import json

@@ -45,17 +45,23 @@ class PoseDataset:
         resize=(480, 640),
         apply_rgb_augmentation=True,
         background_image_paths=(),
+        voc_root=None,
         min_area: float = 0.0,
         visib_fract_th: float = 0.1,
         seed: int = 0,
     ):
         self.scene_ds = scene_ds
         self.crop_resize = CropResizeToAspect(resize)
-        self.background_aug = (
-            BackgroundAugmentation(background_image_paths, p=0.3)
-            if background_image_paths
-            else None
-        )
+        if voc_root is not None:
+            from .augmentations import VOCBackgroundAugmentation
+
+            self.background_aug = VOCBackgroundAugmentation(voc_root, p=0.3)
+        elif background_image_paths:
+            self.background_aug = BackgroundAugmentation(
+                background_image_paths, p=0.3
+            )
+        else:
+            self.background_aug = None
         self.rgb_aug = ColorJitterAugmentation(p=0.4) if apply_rgb_augmentation else None
         self.min_area = min_area
         self.visib_fract_th = visib_fract_th

@@ -137,9 +137,9 @@ def main():
         acc = MetricsAccumulator()
         for batch in loader:
             rng, step_rng = jax.random.split(rng)
-            batch["images"] = batch.pop("image").astype(np.float32) / 255.0
+            batch["images"] = batch.pop("image")  # uint8; converted on device
             state, metrics = step_fn(state, batch, step_rng)
-            acc.add({k: float(v) for k, v in metrics.items()})
+            acc.add(metrics)
         record = run_logger.append(epoch, acc.means())
         logger.info(f"epoch {epoch}: {record}")
         save_checkpoint(run_dir, state, epoch)

@@ -99,13 +99,13 @@ def make_cfg(config_name: str, debug: bool = False) -> RunConfig:
         if kind == "coarse":
             cfg = base(config_name, predictor=small,
                        input_generator="fixed+trans_noise", n_iterations=1,
-                       epoch_size=3200, n_epochs=40, n_epochs_warmup=2,
-                       n_points_loss=600)
+                       batch_size=32, epoch_size=6400, n_epochs=40,
+                       n_epochs_warmup=2, n_points_loss=600)
         else:
             cfg = base(config_name, predictor=small,
                        input_generator="gt+noise", n_iterations=3,
-                       epoch_size=3200, n_epochs=40, n_epochs_warmup=2,
-                       n_points_loss=600)
+                       batch_size=32, epoch_size=6400, n_epochs=40,
+                       n_epochs_warmup=2, n_points_loss=600)
         cfg.train_ds_names = (("synthetic.procedural-4k.train", 1),)
         cfg.val_ds_names = (("synthetic.procedural-4k.val", 1),)
         cfg.object_ds_name = "procedural"

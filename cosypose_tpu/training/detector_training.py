@@ -61,7 +61,10 @@ def detector_loss(model: CenterNetDetector, cfg: DetectorTrainConfig, params,
                   batch_stats, batch, rng):
     """batch: images (B,3,H,W) float[0,1], heatmap (B,Hm,Wm,C), wh (B,N,2),
     offset (B,N,2), inds (B,N), obj_mask (B,N), seg_mask (B,H,W)."""
-    x = jnp.moveaxis(batch["images"], 1, -1)
+    images = batch["images"]
+    if images.dtype == jnp.uint8:  # device-side float conversion (tunnel BW)
+        images = images.astype(jnp.float32) / 255.0
+    x = jnp.moveaxis(images, 1, -1)
     variables = {"params": params, "batch_stats": batch_stats}
     outputs, updates = model.apply(
         variables, x, train=True, mutable=["batch_stats"],

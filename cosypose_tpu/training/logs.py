@@ -18,21 +18,31 @@ import numpy as np
 
 
 class MetricsAccumulator:
+    """Mean-accumulates metric dicts.
+
+    Values may be device arrays: they are buffered as-is and only converted
+    to floats in means() — per-step float() conversions force a device sync
+    each (≈40ms/readback through the TPU tunnel), which gates the whole
+    train-step pipeline.
+    """
+
     def __init__(self):
-        self.sums = defaultdict(float)
-        self.counts = defaultdict(int)
+        self.buffers = defaultdict(list)
 
     def add(self, metrics: dict):
         for k, v in metrics.items():
-            self.sums[k] += float(v)
-            self.counts[k] += 1
+            self.buffers[k].append(v)
 
     def means(self) -> dict:
-        return {k: self.sums[k] / max(self.counts[k], 1) for k in self.sums}
+        import numpy as np
+
+        return {
+            k: float(np.mean([float(v) for v in vs]))
+            for k, vs in self.buffers.items()
+        }
 
     def reset(self):
-        self.sums.clear()
-        self.counts.clear()
+        self.buffers.clear()
 
 
 class RunLogger:

@@ -140,6 +140,14 @@ def pose_loss(pp: PosePredictor, cfg: PoseTrainConfig, params, batch_stats,
     """
     from ..models.pose_predictor import gather_mesh_data
 
+    # images may arrive as uint8: the host->device transfer through the TPU
+    # tunnel is bandwidth-bound (~20MB/s measured), so the float conversion
+    # happens ON DEVICE (4x less PCIe/tunnel traffic per step)
+    images = batch["images"]
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) / 255.0
+    batch = {**batch, "images": images}
+
     k_pts, k_init, k_fwd = jax.random.split(rng, 3)
     label_ids = batch["label_ids"]
     mesh_data = gather_mesh_data(

@@ -183,7 +183,7 @@ def train_pose(cfg, scene_datasets=None, mesh_db=None, resume: bool = False,
         for batch in loader:
             rng, step_rng = jax.random.split(rng)
             device_batch = dict(
-                images=batch.images.astype(np.float32) / 255.0,
+                images=batch.images,  # uint8; float conversion on device
                 K=batch.K,
                 TCO=batch.TCO,
                 bboxes=batch.bboxes,
@@ -194,7 +194,7 @@ def train_pose(cfg, scene_datasets=None, mesh_db=None, resume: bool = False,
             if mesh is not None:
                 device_batch = shard_batch(mesh, device_batch)
             state, metrics = step_fn(state, device_batch, step_rng)
-            acc.add({k: float(v) for k, v in metrics.items()})
+            acc.add(metrics)  # device values; converted at epoch end
             n_steps += 1
             if _time.time() - t_last > 60.0:
                 logger.info(
@@ -231,7 +231,7 @@ def train_pose(cfg, scene_datasets=None, mesh_db=None, resume: bool = False,
             for batch in val_loader:
                 rng, step_rng = jax.random.split(rng)
                 device_batch = dict(
-                    images=batch.images.astype(np.float32) / 255.0,
+                    images=batch.images,  # uint8; float conversion on device
                     K=batch.K,
                     TCO=batch.TCO,
                     bboxes=batch.bboxes,
@@ -240,7 +240,7 @@ def train_pose(cfg, scene_datasets=None, mesh_db=None, resume: bool = False,
                 if mesh is not None:
                     device_batch = shard_batch(mesh, device_batch)
                 val_metrics = val_fn(state, device_batch, step_rng)
-                val_acc.add({k: float(v) for k, v in val_metrics.items()})
+                val_acc.add(val_metrics)
             run_logger.append(
                 epoch, {}, extra={f"val/{k}": v for k, v in val_acc.means().items()}
             )
