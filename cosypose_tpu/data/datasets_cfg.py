@@ -76,6 +76,23 @@ def make_scene_dataset(ds_name: str, ds_root=None, load_depth: bool = False):
 
     ds = BOPDataset(root / name, split=split, load_depth=load_depth)
 
+    if "keyframes" in parts:
+        # the YCB-Video keyframe subset used by the paper protocol
+        # (ref: datasets_cfg.py:57-69; keyframe.txt from the ycbv extras)
+        keyframes_path = root / name / "keyframe.txt"
+        if keyframes_path.exists():
+            keep = set()
+            for line in keyframes_path.read_text().strip().split("\n"):
+                s, v = line.split("/")
+                keep.add((int(s), int(v)))
+            fi = ds.frame_index
+            sel = [
+                i for i in range(len(fi))
+                if (int(fi.iloc[i]["scene_id"]), int(fi.iloc[i]["view_id"]))
+                in keep
+            ]
+            ds.frame_index = fi.iloc[sel].reset_index(drop=True)
+
     if bop19:
         targets = root / name / "test_targets_bop19.json"
         if targets.exists():

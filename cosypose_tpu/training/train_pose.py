@@ -162,6 +162,10 @@ def train_pose(cfg, scene_datasets=None, mesh_db=None, resume: bool = False,
     step_fn = make_train_step(pp, tcfg, mesh_db, mesh=mesh)
     val_fn = make_val_step(pp, tcfg, mesh_db, mesh=mesh)
 
+    from ..utils.profiling import maybe_start_trace, stop_trace
+
+    maybe_start_trace()  # honors COSYPOSE_TPU_TRACE_DIR
+
     train_ds = ConcatDataset(scene_datasets["train"])
     val_ds = (
         ConcatDataset(scene_datasets["val"]) if scene_datasets.get("val") else None
@@ -245,5 +249,6 @@ def train_pose(cfg, scene_datasets=None, mesh_db=None, resume: bool = False,
                 epoch, {}, extra={f"val/{k}": v for k, v in val_acc.means().items()}
             )
 
+    stop_trace()
     save_checkpoint(run_dir, state, tcfg.n_epochs - 1)
     return state, run_dir
