@@ -39,8 +39,14 @@ class PosePredictorConfig:
     n_points_crop: int = 2000       # points projected for crop-box computation
     lamb: float = 1.4               # deepim crop margin
     compute_dtype: Any = jnp.float32  # bfloat16 for the backbone on TPU
-    raster_tile: tuple[int, int] = (24, 64)
+    raster_tile: tuple[int, int] = (24, 64)        # XLA-path tiles
     raster_max_tris_per_tile: int = 128
+    pallas_tile: tuple[int, int] = (24, 320)       # TPU kernel strips
+    pallas_max_tris_per_tile: int = 1024
+    # budget note: the Pallas kernel early-exits on true per-tile counts, so
+    # the budget costs HBM/binning only — but tiles holding MORE triangles
+    # than the budget silently drop the highest ids. Dense meshes zoomed to
+    # full-crop need budgets near their decimated face count.
     remat: bool = True  # rematerialize backbone activations in training
     # (a 3-iteration scan of EfficientNet-B3 at 240x320 batch 32 otherwise
     # needs ~70 GB of HBM for stored activations; remat trades ~30% extra
@@ -154,6 +160,8 @@ class PosePredictor:
             colors=mesh_data.get("tri_colors"),
             tile=cfg.raster_tile,
             max_tris_per_tile=cfg.raster_max_tris_per_tile,
+            pallas_tile=cfg.pallas_tile,
+            pallas_max_tris_per_tile=cfg.pallas_max_tris_per_tile,
         ).rgb  # (B, 3, H, W)
 
         # 3. network forward on the 6-channel comparison stack (NHWC for TPU)

@@ -32,9 +32,14 @@ def _render_scene_batch(tri_verts, tri_valid, colors, inst_ids, TWCs, Ks,
     n_cams = TWCs.shape[0]
     TCWs = invert_T(TWCs)
     bc = lambda x: jnp.broadcast_to(x[None], (n_cams,) + x.shape)
+    # NO-DROP triangle budget: scene soups put thousands of triangles in one
+    # strip (objects + cage); the refiner-tuned per-tile cap silently culls
+    # the highest ids (the cage) — visible as black bands in recordings
+    F = int(tri_verts.shape[0])
     out = rasterize(
         bc(tri_verts), bc(tri_valid), TCWs, Ks, image_size=image_size,
         colors=bc(colors), tri_attr=bc(inst_ids),
+        max_tris_per_tile=F, pallas_max_tris_per_tile=F,
     )
     rgb8 = (out.rgb * 255.0).astype(jnp.uint8)
     inst8 = jnp.clip(out.attr + 0.5, 0, 255).astype(jnp.uint8)
@@ -182,6 +187,8 @@ class SceneRenderer:
                 image_size=res,
                 colors=jnp.asarray(colors),
                 tri_attr=jnp.asarray(inst_ids[None].astype(np.float32)),
+                max_tris_per_tile=int(tri_verts.shape[1]),
+                pallas_max_tris_per_tile=int(tri_verts.shape[1]),
             )
             result = dict(
                 rgb=np.asarray(out.rgb[0]).transpose(1, 2, 0),
