@@ -32,14 +32,18 @@ def _render_scene_batch(tri_verts, tri_valid, colors, inst_ids, TWCs, Ks,
     n_cams = TWCs.shape[0]
     TCWs = invert_T(TWCs)
     bc = lambda x: jnp.broadcast_to(x[None], (n_cams,) + x.shape)
-    # NO-DROP triangle budget: scene soups put thousands of triangles in one
+    # Generous triangle budget: scene soups put thousands of triangles in one
     # strip (objects + cage); the refiner-tuned per-tile cap silently culls
-    # the highest ids (the cage) — visible as black bands in recordings
+    # the highest ids (the cage) — visible as black bands in recordings.
+    # Narrow (8, 320) strips cut per-strip overlap ~3x, and the budget is
+    # clamped to the kernel's scoped-VMEM-safe maximum (coef block ≤ ~0.6MB).
     F = int(tri_verts.shape[0])
+    budget = min(F, 6144)
     out = rasterize(
         bc(tri_verts), bc(tri_valid), TCWs, Ks, image_size=image_size,
         colors=bc(colors), tri_attr=bc(inst_ids),
-        max_tris_per_tile=F, pallas_max_tris_per_tile=F,
+        max_tris_per_tile=budget,
+        pallas_tile=(8, 320), pallas_max_tris_per_tile=budget,
     )
     rgb8 = (out.rgb * 255.0).astype(jnp.uint8)
     inst8 = jnp.clip(out.attr + 0.5, 0, 255).astype(jnp.uint8)
@@ -187,8 +191,9 @@ class SceneRenderer:
                 image_size=res,
                 colors=jnp.asarray(colors),
                 tri_attr=jnp.asarray(inst_ids[None].astype(np.float32)),
-                max_tris_per_tile=int(tri_verts.shape[1]),
-                pallas_max_tris_per_tile=int(tri_verts.shape[1]),
+                max_tris_per_tile=min(int(tri_verts.shape[1]), 6144),
+                pallas_tile=(8, 320),
+                pallas_max_tris_per_tile=min(int(tri_verts.shape[1]), 6144),
             )
             result = dict(
                 rgb=np.asarray(out.rgb[0]).transpose(1, 2, 0),
