@@ -92,8 +92,19 @@ class CenterNetDetector(nn.Module):
             backbone = WideResNet34(dtype=self.cfg.compute_dtype)
         else:
             raise ValueError(self.cfg.backbone)
+        # pad to the backbone's stride-32 grid, slice head maps back to the
+        # input's stride-4 grid (inputs like 240x320 are not 32-divisible)
+        H, W = images_nhwc.shape[1:3]
+        Hp = ((H + 31) // 32) * 32
+        Wp = ((W + 31) // 32) * 32
+        if (Hp, Wp) != (H, W):
+            images_nhwc = jnp.pad(
+                images_nhwc, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0))
+            )
         feats = backbone(images_nhwc, train=train)
-        return DetectorHead(self.cfg, name="head")(feats, train=train)
+        outputs = DetectorHead(self.cfg, name="head")(feats, train=train)
+        Hm, Wm = H // 4, W // 4
+        return {k: v[:, :Hm, :Wm] for k, v in outputs.items()}
 
 
 def decode_detections(outputs: dict, max_detections: int, stride: int = 4):

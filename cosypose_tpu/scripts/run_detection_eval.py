@@ -56,18 +56,32 @@ class _DetectionGTEvaluation(DetectionEvaluation):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--dataset", required=True)
+    parser.add_argument("--dataset", required=True,
+                        help="BOP name (evaluates <ds>.test) or a full scene "
+                             "dataset name like synthetic.procedural-4k.val")
     parser.add_argument("--detector", required=True)
+    parser.add_argument("--object-ds", default=None,
+                        help="object dataset (default <ds>.models; "
+                             "'procedural' for the built-in set)")
     parser.add_argument("--detection-th", type=float, default=0.0)
+    parser.add_argument("--n-frames", type=int, default=None)
     parser.add_argument("--ds-root", default=None)
     parser.add_argument("--debug", action="store_true")
     args = parser.parse_args()
 
-    scene_ds = make_scene_dataset(f"{args.dataset}.test", ds_root=args.ds_root)
-    if args.debug:
-        scene_ds.frame_index = scene_ds.frame_index.iloc[:8].reset_index(drop=True)
-    obj_ds = make_object_dataset(f"{args.dataset}.models", ds_root=args.ds_root)
-    labels = {o["label"]: i for i, o in enumerate(obj_ds.objects)}
+    scene_name = (args.dataset if "." in args.dataset
+                  else f"{args.dataset}.test")
+    scene_ds = make_scene_dataset(scene_name, ds_root=args.ds_root)
+    n_keep = 8 if args.debug else args.n_frames
+    if n_keep:
+        scene_ds.frame_index = scene_ds.frame_index.iloc[:n_keep].reset_index(
+            drop=True)
+    obj_ds = make_object_dataset(args.object_ds or f"{args.dataset}.models",
+                                 ds_root=args.ds_root)
+    if hasattr(obj_ds, "objects"):
+        labels = {o["label"]: i for i, o in enumerate(obj_ds.objects)}
+    else:
+        labels = {l: i for i, l in enumerate(obj_ds.labels)}
 
     detector = load_detector(args.detector, labels)
     runner = DetectionRunner(scene_ds)
