@@ -59,12 +59,20 @@ class CropResizeToAspect:
             )
         )
 
-        K = obs["camera"]["K"]
-        new_K = np.asarray(
-            get_K_crop_resize(
-                jnp.asarray(K[None]), jnp.asarray(box), (h, w), self.resize
-            )
-        )[0]
+        # pure-numpy K update: the jnp version dispatched ~50 eager ops per
+        # sample, and loader threads contend on jax's dispatch lock with the
+        # main thread's TPU steps (same math as ops/camera.get_K_crop_resize)
+        K = np.asarray(obs["camera"]["K"], np.float64)
+        sx = out_w / crop_w
+        sy = out_h / crop_h
+        new_K = K.copy()
+        new_K[0, 0] *= sx
+        new_K[1, 1] *= sy
+        # resize-about-center with the reference's (W-1)/2 pixel convention
+        # (ref: camera_geometry.py:45-87 / ops/camera.get_K_crop_resize)
+        new_K[0, 2] = (out_w - 1) / 2.0 + sx * (K[0, 2] - (x0 + crop_w / 2.0))
+        new_K[1, 2] = (out_h - 1) / 2.0 + sy * (K[1, 2] - (y0 + crop_h / 2.0))
+        new_K = new_K.astype(np.float32)
         obs = dict(obs)
         obs["camera"] = dict(obs["camera"], K=new_K, resolution=self.resize)
         obs["objects"] = [

@@ -66,14 +66,23 @@ class PoseDataset:
         self.min_area = min_area
         self.visib_fract_th = visib_fract_th
         self.rng = random.Random(seed)
+        self._resized_cache = {}
 
     def __len__(self):
         return len(self.scene_ds)
 
     def get_data(self, idx):
-        rgb, mask, obs = self.scene_ds[idx]
-        s = SceneObservation(np.asarray(rgb), np.asarray(mask), obs)
-        s = self.crop_resize(s)
+        # cache the deterministic prefix (load + crop-resize) when the
+        # underlying scene dataset is itself RAM-cached; only the random
+        # augmentations and object pick run per access
+        cached = getattr(self.scene_ds, "cache_in_memory", False)
+        s = self._resized_cache.get(idx) if cached else None
+        if s is None:
+            rgb, mask, obs = self.scene_ds[idx]
+            s = SceneObservation(np.asarray(rgb), np.asarray(mask), obs)
+            s = self.crop_resize(s)
+            if cached:
+                self._resized_cache[idx] = s
         if self.background_aug is not None:
             s = self.background_aug(s)
         if self.rgb_aug is not None:

@@ -195,19 +195,38 @@ class BopPredictionRunner:
 
 
 class DetectionRunner:
-    def __init__(self, scene_ds):
+    def __init__(self, scene_ds, batch_size: int = 16):
         self.ds = scene_ds
+        # fixed-size batched dispatches: per-frame B=1 calls pay the TPU
+        # tunnel's per-dispatch latency 16x over (and a recompile per shape)
+        self.batch_size = batch_size
 
     def get_predictions(self, detector, detection_th=0.0):
         preds = []
-        for idx in range(len(self.ds)):
-            rgb, _, obs = self.ds[idx]
-            images = np.transpose(rgb, (2, 0, 1))[None].astype(np.float32) / 255.0
-            dets = detector.get_detections(
-                jnp.asarray(images), detection_th=detection_th
+        n = len(self.ds)
+        bsz = self.batch_size
+        for start in range(0, n, bsz):
+            ids = list(range(start, min(start + bsz, n)))
+            items = [self.ds[i] for i in ids]
+            ims = np.stack(
+                [np.transpose(rgb, (2, 0, 1)) for rgb, _, _ in items]
             )
-            frame = obs["frame_info"]
-            dets.infos["scene_id"] = frame["scene_id"]
-            dets.infos["view_id"] = frame["view_id"]
+            n_valid = len(ids)
+            if n_valid < bsz:  # pad to the fixed batch (repeat last frame)
+                ims = np.concatenate(
+                    [ims, np.repeat(ims[-1:], bsz - n_valid, axis=0)]
+                )
+            dets = detector.get_detections(
+                jnp.asarray(ims), detection_th=detection_th
+            )
+            keep = dets.infos["batch_im_id"].values < n_valid
+            dets = dets[np.where(keep)[0]]
+            frames = [it[2]["frame_info"] for it in items]
+            dets.infos["scene_id"] = [
+                frames[b]["scene_id"] for b in dets.infos["batch_im_id"]
+            ]
+            dets.infos["view_id"] = [
+                frames[b]["view_id"] for b in dets.infos["batch_im_id"]
+            ]
             preds.append(dets)
         return {"detections": concatenate(preds)}

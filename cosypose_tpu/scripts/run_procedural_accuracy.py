@@ -37,16 +37,29 @@ from ..utils.logging import get_logger
 logger = get_logger(__name__)
 
 
-def collect_gt(ds, n_frames: int):
-    """First n_frames of the dataset → images, K, and per-object GT rows."""
+def collect_gt(ds, n_frames: int, resize=None):
+    """First n_frames of the dataset → images, K, and per-object GT rows.
+    resize=(h, w) downsamples frames and rescales K (mini configs train at a
+    reduced input size)."""
+    from PIL import Image
+
     images, Ks, rows, TCO = [], [], [], []
     n = min(n_frames, len(ds))
     for i in range(n):
         rgb, _, obs = ds[i]
         cam = obs["camera"]
+        K_i = np.asarray(cam["K"], np.float32).copy()
+        if resize is not None and tuple(rgb.shape[:2]) != tuple(resize):
+            h0, w0 = rgb.shape[:2]
+            h1, w1 = resize
+            rgb = np.asarray(
+                Image.fromarray(rgb).resize((w1, h1), Image.BILINEAR)
+            )
+            K_i[0] *= w1 / w0
+            K_i[1] *= h1 / h0
         TCW = np.linalg.inv(np.asarray(cam["TWC"], np.float64))
         images.append(np.moveaxis(rgb, -1, 0).astype(np.float32) / 255.0)
-        Ks.append(np.asarray(cam["K"], np.float32))
+        Ks.append(K_i)
         for obj in obs["objects"]:
             rows.append(
                 dict(
@@ -105,14 +118,18 @@ def main(argv=None):
     predictor = CoarseRefinePosePredictor(refiner_model=model)
 
     ds = make_scene_dataset(args.dataset)
-    images, K, gt_infos, TCO_gt = collect_gt(ds, args.n_frames)
+    images, K, gt_infos, TCO_gt = collect_gt(
+        ds, args.n_frames, resize=tuple(getattr(cfg, "input_resize", ())) or None
+    )
     logger.info(f"{len(gt_infos)} GT objects over {images.shape[0]} frames")
 
-    # the training-time input distribution: noisy GT (gt+noise generator)
+    # the training-time input distribution: noisy GT (the config's gt+noise
+    # generator magnitudes)
     TCO_init = np.asarray(
         add_pose_noise(
             jax.random.PRNGKey(args.noise_seed), jnp.asarray(TCO_gt),
-            euler_deg_std=(15.0, 15.0, 15.0), trans_std=(0.01, 0.01, 0.05),
+            euler_deg_std=tuple(cfg.train.noise_euler_deg),
+            trans_std=tuple(cfg.train.noise_trans),
         )
     )
 

@@ -111,6 +111,29 @@ def make_cfg(config_name: str, debug: bool = False) -> RunConfig:
         cfg.object_ds_name = "procedural"
         cfg.input_resize = (240, 320)
         cfg.val_epoch_interval = 5
+    elif config_name == "procedural-refiner-mini":
+        # Fast-learning regression config: the full-size B3 schedule needs the
+        # reference's 80M-sample budget to leave the identity floor (measured:
+        # 0.14M samples land exactly at the identity-prediction loss). This
+        # one demonstrates end-to-end refinement LEARNING in <1M samples:
+        # small backbone, small render, one iteration, gentler noise.
+        import jax.numpy as jnp
+
+        mini = dataclasses.replace(
+            predictor, backbone="wide-resnet18", render_size=(120, 160),
+            compute_dtype=jnp.bfloat16,
+        )
+        cfg = base(config_name, predictor=mini,
+                   input_generator="gt+noise", n_iterations=1,
+                   batch_size=64, epoch_size=6400, n_epochs=60,
+                   n_epochs_warmup=1, n_points_loss=600, lr=1e-3,
+                   noise_euler_deg=(10.0, 10.0, 10.0),
+                   noise_trans=(0.01, 0.01, 0.03))
+        cfg.train_ds_names = (("synthetic.procedural-4k.train", 1),)
+        cfg.val_ds_names = (("synthetic.procedural-4k.val", 1),)
+        cfg.object_ds_name = "procedural"
+        cfg.input_resize = (120, 160)
+        cfg.val_epoch_interval = 10
     elif config_name.startswith("bop-"):
         # bop-<ds>-{pbr|synt+real}-{coarse|refiner}
         parts = config_name.split("-")

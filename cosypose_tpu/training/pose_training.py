@@ -42,6 +42,9 @@ class PoseTrainConfig:
     input_generator: str = "fixed"        # fixed | gt+noise | fixed+trans_noise
     loss_disentangled: bool = True
     n_points_loss: int = 2600
+    # gt+noise input-generator magnitudes (ref: pose_forward_loss.py:36-40)
+    noise_euler_deg: tuple = (15.0, 15.0, 15.0)
+    noise_trans: tuple = (0.01, 0.01, 0.05)
     # optimizer (ref: scripts/run_pose_training.py:54-63)
     lr: float = 3e-4
     weight_decay: float = 0.0
@@ -119,8 +122,8 @@ def _make_TCO_init(cfg, batch, points, rng):
         return TCO_init_from_boxes(batch["bboxes"], batch["K"], z_range=(1.0, 1.0))
     if gen == "gt+noise":
         return add_pose_noise(
-            rng, batch["TCO"], euler_deg_std=(15.0, 15.0, 15.0),
-            trans_std=(0.01, 0.01, 0.05),
+            rng, batch["TCO"], euler_deg_std=cfg.noise_euler_deg,
+            trans_std=cfg.noise_trans,
         )
     if gen == "fixed+trans_noise":
         TCO0 = TCO_init_from_boxes_zup_autodepth(batch["bboxes"], points, batch["K"])
