@@ -37,6 +37,20 @@ CONFIGS = dict(
                               min_visible_pixels=150,
                               n_views_per_scene=10,
                           ))},
+    # canonical object appearance (textured cage only): refiner regression
+    # data where renders match observations — object texture randomization
+    # decouples appearance from the mesh colors the refiner renders with,
+    # which suppresses the render-and-compare learning signal at small
+    # sample budgets
+    **{"procedural-canon": dict(obj="procedural", resolution=(240, 320),
+                                focal=(530.0, 540.0), n_frames=20_000,
+                                p_textured=0.0,
+                                sampler_kwargs=dict(
+                                    camera_distance_interval=(0.45, 1.0),
+                                    n_objects_interval=(3, 8),
+                                    min_visible_pixels=150,
+                                    n_views_per_scene=10,
+                                ))},
 )
 
 
@@ -57,6 +71,7 @@ def _make_sampler(config: str, ds_root=None, texture_dir=None,
         obj_ds = make_object_dataset(cfg["obj"], ds_root=ds_root)
     mesh_db = build_mesh_db(obj_ds.mesh_specs())
     textures = TextureDataset(texture_dir) if texture_dir else None
+    p_textured = cfg.get("p_textured", 0.8)
     kwargs = dict(cfg.get("sampler_kwargs", {}))
     if n_objects_interval:
         kwargs["n_objects_interval"] = n_objects_interval
@@ -64,7 +79,8 @@ def _make_sampler(config: str, ds_root=None, texture_dir=None,
         mesh_db,
         resolution=cfg["resolution"],
         focal_interval=cfg["focal"],
-        texture_sampler=TextureSampler(texture_dataset=textures),
+        texture_sampler=TextureSampler(texture_dataset=textures,
+                                       p_textured=p_textured),
         **kwargs,
     )
 

@@ -98,7 +98,7 @@ def main(argv=None):
     parser.add_argument("--run-id", default="procedural-refiner")
     parser.add_argument("--config", default=None,
                         help="training config name (default: --run-id)")
-    parser.add_argument("--dataset", default="synthetic.procedural-4k.val")
+    parser.add_argument("--dataset", default=None)
     parser.add_argument("--n-frames", type=int, default=150)
     parser.add_argument("--n-iterations", type=int, default=4)
     parser.add_argument("--noise-seed", type=int, default=0)
@@ -117,7 +117,11 @@ def main(argv=None):
     model = LoadedPoseModel(predictor=pp, variables=variables, mesh_db=mesh_db)
     predictor = CoarseRefinePosePredictor(refiner_model=model)
 
-    ds = make_scene_dataset(args.dataset)
+    dataset = args.dataset or (
+        cfg.val_ds_names[0][0] if getattr(cfg, "val_ds_names", ())
+        else "synthetic.procedural-4k.val"
+    )
+    ds = make_scene_dataset(dataset)
     images, K, gt_infos, TCO_gt = collect_gt(
         ds, args.n_frames, resize=tuple(getattr(cfg, "input_resize", ())) or None
     )
@@ -158,7 +162,7 @@ def main(argv=None):
     RESULTS_DIR.mkdir(parents=True, exist_ok=True)
     with open(out, "w") as f:
         json.dump(
-            dict(run_id=args.run_id, dataset=args.dataset,
+            dict(run_id=args.run_id, dataset=dataset,
                  n_frames=int(images.shape[0]), n_objects=int(len(gt_infos)),
                  n_iterations=args.n_iterations, results=results),
             f, indent=2,

@@ -129,8 +129,8 @@ def make_cfg(config_name: str, debug: bool = False) -> RunConfig:
                    n_epochs_warmup=1, n_points_loss=600, lr=1e-3,
                    noise_euler_deg=(10.0, 10.0, 10.0),
                    noise_trans=(0.01, 0.01, 0.03))
-        cfg.train_ds_names = (("synthetic.procedural-4k.train", 1),)
-        cfg.val_ds_names = (("synthetic.procedural-4k.val", 1),)
+        cfg.train_ds_names = (("synthetic.procedural-canon.train", 1),)
+        cfg.val_ds_names = (("synthetic.procedural-canon.val", 1),)
         cfg.object_ds_name = "procedural"
         cfg.input_resize = (120, 160)
         cfg.val_epoch_interval = 10
