@@ -46,8 +46,28 @@ def make_scene_dataset(ds_name: str, ds_root=None, load_depth: bool = False):
         )
         ds = BOPDataset(ds_dir, split="train_synt", load_depth=load_depth)
         # small recorded sets: keep decoded frames in RAM (the 1-core image
-        # loader is otherwise the training bottleneck)
-        ds.cache_in_memory = len(ds) <= 20_000
+        # loader is otherwise the training bottleneck). Gate on an estimated
+        # byte budget, not frame count: 20k frames at 540x720 RGB would pin
+        # ~23 GB before PoseDataset's resized cache doubles it.
+        est_bytes = 0
+        if len(ds):
+            h, w = 480, 640
+            try:  # PIL reads dimensions from the header without decoding
+                from PIL import Image
+
+                row = ds.frame_index.iloc[0]
+                scene_dir = ds._scene_dir(int(row["scene_id"]))
+                for name in (f"{int(row['view_id']):06d}.png",
+                             f"{int(row['view_id']):06d}.jpg"):
+                    p = scene_dir / "rgb" / name
+                    if p.exists():
+                        with Image.open(p) as im:
+                            w, h = im.size
+                        break
+            except Exception:
+                pass
+            est_bytes = len(ds) * h * w * 3
+        ds.cache_in_memory = 0 < est_bytes <= 8 * 1024**3
         split_file = ds_dir / "split_keys.json"
         if split_file.exists():
             import json

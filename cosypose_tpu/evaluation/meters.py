@@ -163,9 +163,18 @@ def _gather_frame_lists(frame_lists: dict, gather_dir, process_id=None,
 
     gather_dir = pathlib.Path(gather_dir)
     gather_dir.mkdir(parents=True, exist_ok=True)
+    final = gather_dir / f"{process_id}.pkl"
+    if final.exists():
+        # a stale shard from a previous run into the same dir would silently
+        # merge into this gather — refuse instead (callers should use a fresh
+        # per-run gather_dir, e.g. suffixed with a run id)
+        raise FileExistsError(
+            f"{final} already exists: gather_dir was already used by a "
+            f"previous gather; point each run at a fresh directory"
+        )
     tmp = gather_dir / f"{process_id}.pkl.tmp"
     tmp.write_bytes(pickle.dumps(frame_lists))
-    tmp.rename(gather_dir / f"{process_id}.pkl")
+    tmp.rename(final)
 
     deadline = time.time() + timeout_s
     paths = [gather_dir / f"{p}.pkl" for p in range(n_processes)]

@@ -36,6 +36,16 @@ class PosePredictorConfig:
     backbone: str = "efficientnet-b3"
     render_size: tuple[int, int] = (240, 320)
     pose_dim: int = 9
+    pooling: str = "gap"  # 'gap' (reference semantics) | 'gap+moments'
+    # 'gap+moments' appends spatial first moments (mean of feat·x, feat·y over
+    # a [-1,1] grid) to the pooled features. Plain GAP is translation-invariant
+    # up to zero-padding border effects, so the image-space offset between the
+    # observed and rendered object — the very signal the vx/vy head must read —
+    # reaches the head only through those border effects; the reference
+    # compensates with an 80.6M-sample schedule
+    # (ref: models/pose.py:81-87 flatten(2).mean(-1);
+    # scripts/run_pose_training.py:61-63). Moment pooling exposes the offset
+    # directly and costs two elementwise multiplies + means on TPU.
     n_points_crop: int = 2000       # points projected for crop-box computation
     lamb: float = 1.4               # deepim crop margin
     compute_dtype: Any = jnp.float32  # bfloat16 for the backbone on TPU
@@ -101,6 +111,13 @@ class PoseNet(nn.Module):
         backbone, _ = make_backbone(self.cfg)
         feats = backbone(x_nhwc, train=train)          # (B, h, w, C)
         pooled = feats.mean(axis=(1, 2)).astype(jnp.float32)
+        if self.cfg.pooling == "gap+moments":
+            h, w = feats.shape[1], feats.shape[2]
+            fy = jnp.linspace(-1.0, 1.0, h, dtype=feats.dtype)[:, None, None]
+            fx = jnp.linspace(-1.0, 1.0, w, dtype=feats.dtype)[None, :, None]
+            mx = (feats * fx).mean(axis=(1, 2)).astype(jnp.float32)
+            my = (feats * fy).mean(axis=(1, 2)).astype(jnp.float32)
+            pooled = jnp.concatenate([pooled, mx, my], axis=-1)
         return nn.Dense(
             self.cfg.pose_dim,
             dtype=jnp.float32,

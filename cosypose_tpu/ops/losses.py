@@ -56,6 +56,7 @@ def loss_refiner_CO_disentangled(
     points: jax.Array,
     points_valid: jax.Array | None = None,
     pose_dim: int = 9,
+    return_components: bool = False,
 ) -> jax.Array:
     """Disentangled loss: rotation / xy / z hypotheses each swapped into the GT
     pose and scored with the symmetric point-displacement loss, then summed
@@ -83,6 +84,10 @@ def loss_refiner_CO_disentangled(
     loss_orn = loss_CO_symmetric(TCO_possible_gt, TCO_pred_orn, points, points_valid)
     loss_xy = loss_CO_symmetric(TCO_possible_gt, TCO_pred_xy, points, points_valid)
     loss_z = loss_CO_symmetric(TCO_possible_gt, TCO_pred_z, points, points_valid)
+    if return_components:
+        return loss_orn + loss_xy + loss_z, dict(
+            loss_orn=loss_orn, loss_xy=loss_xy, loss_z=loss_z
+        )
     return loss_orn + loss_xy + loss_z
 
 

@@ -159,6 +159,12 @@ def record_dataset(sampler, ds_dir, n_chunks: int, n_frames_per_chunk: int = 100
             )
         logger.info(f"recorded {len(pending)} chunks on {len(procs)} workers")
     else:
+        # serial fallback also serves the fan-out path's degenerate cases
+        # (one pending chunk, --debug): build the sampler from the factory
+        # when the caller only provided one
+        if sampler is None:
+            assert sampler_factory is not None, "need a sampler or a factory"
+            sampler = sampler_factory()
         for chunk_id in pending:
             record_chunk(sampler, ds_dir, chunk_id, n_frames_per_chunk)
             with open(ledger, "a") as f:

@@ -110,8 +110,10 @@ def main():
     parser.add_argument("--synt_dataset", default="")
     parser.add_argument("--detections", default="")
     parser.add_argument("--example_scenario", action="store_true")
-    parser.add_argument("--pbr_training_images", action="store_true",
-                        default=True)
+    parser.add_argument("--pbr_training_images",
+                        action=argparse.BooleanOptionalAction, default=True,
+                        help="--no-pbr_training_images skips the multi-GB "
+                             "train_pbr zip")
     parser.add_argument("--all_bop20_results", action="store_true")
     parser.add_argument("--all_bop20_models", action="store_true")
     parser.add_argument("--mirror-url", default="",

@@ -107,6 +107,11 @@ def main():
                 "use --use-detections-tco to seed from the CSV poses"
             )
 
+    if not args.use_detections_tco and not args.coarse:
+        raise SystemExit(
+            "box-seeded eval runs a coarse iteration: pass --coarse RUN_ID "
+            "(or --use-detections-tco to seed the refiner from CSV poses)"
+        )
     refiner = load_pose_model(args.refiner, mesh_db, exp_dir=None)
     coarse = load_pose_model(args.coarse, mesh_db) if args.coarse else None
     predictor = CoarseRefinePosePredictor(coarse, refiner)

@@ -111,6 +111,30 @@ def make_cfg(config_name: str, debug: bool = False) -> RunConfig:
         cfg.object_ds_name = "procedural"
         cfg.input_resize = (240, 320)
         cfg.val_epoch_interval = 5
+    elif config_name == "procedural-refiner-mini-moments":
+        # mini config + spatial-moment pooling: plain GAP hides the
+        # observed-vs-rendered image offset from the head behind zero-padding
+        # border effects (the reference burns an 80.6M-sample schedule
+        # learning through them, ref scripts/run_pose_training.py:61-63);
+        # moment pooling exposes it directly. The framework's demonstrated
+        # held-out refinement regression trains this config.
+        import jax.numpy as jnp
+
+        mini = dataclasses.replace(
+            predictor, backbone="wide-resnet18", render_size=(120, 160),
+            compute_dtype=jnp.bfloat16, pooling="gap+moments",
+        )
+        cfg = base(config_name, predictor=mini,
+                   input_generator="gt+noise", n_iterations=1,
+                   batch_size=64, epoch_size=6400, n_epochs=150,
+                   n_epochs_warmup=1, n_points_loss=600, lr=1e-3,
+                   noise_euler_deg=(10.0, 10.0, 10.0),
+                   noise_trans=(0.01, 0.01, 0.03))
+        cfg.train_ds_names = (("synthetic.procedural-canon.train", 1),)
+        cfg.val_ds_names = (("synthetic.procedural-canon.val", 1),)
+        cfg.object_ds_name = "procedural"
+        cfg.input_resize = (120, 160)
+        cfg.val_epoch_interval = 10
     elif config_name == "procedural-refiner-mini":
         # Fast-learning regression config: the full-size B3 schedule needs the
         # reference's 80M-sample budget to leave the identity floor (measured:

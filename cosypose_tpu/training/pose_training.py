@@ -184,17 +184,21 @@ def pose_loss(pp: PosePredictor, cfg: PoseTrainConfig, params, batch_stats,
         if cfg.loss_disentangled:
             return loss_refiner_CO_disentangled(
                 TCO_possible_gt, TCO_input, pose_outputs, K_crop, points,
-                pose_dim=cfg.predictor.pose_dim,
+                pose_dim=cfg.predictor.pose_dim, return_components=True,
             )
-        return compute_ADD_L1_loss(TCO_possible_gt[:, 0], TCO_output, points)
+        l = compute_ADD_L1_loss(TCO_possible_gt[:, 0], TCO_output, points)
+        return l, dict(loss_orn=l, loss_xy=l, loss_z=l)
 
-    losses = jax.vmap(per_iter_loss)(
+    losses, comps = jax.vmap(per_iter_loss)(
         outs["TCO_input"], outs["TCO_output"], outs["K_crop"], outs["pose_outputs"]
     )  # (n_iter, B)
     loss = losses.mean()
     metrics = {"loss_total": loss}
     for n in range(cfg.n_iterations):
         metrics[f"loss_TCO-iter={n+1}"] = losses[n].mean()
+    # per-component diagnostics (orn / xy / z heads), averaged over iterations
+    for k, v in comps.items():
+        metrics[k] = v.mean()
     return loss, (metrics, outs["batch_stats"])
 
 
