@@ -51,7 +51,7 @@ class Detector:
         boxes = np.asarray(out["boxes"])
         B, K = scores.shape
 
-        infos, bboxes, masks = [], [], []
+        infos, bboxes, sel = [], [], []
         H, W = images.shape[1:3]
         for b in range(B):
             for k in range(K):
@@ -65,12 +65,7 @@ class Detector:
                 infos.append(dict(batch_im_id=b, label=label,
                                   score=float(scores[b, k])))
                 bboxes.append(boxes[b, k])
-                if output_masks:
-                    ml = np.asarray(
-                        jax.image.resize(out["mask_logits"][b, k], (H, W),
-                                         method="bilinear")
-                    )
-                    masks.append(1.0 / (1.0 + np.exp(-ml)) > mask_th)
+                sel.append((b, k))
 
         if infos:
             outputs = PandasTensorCollection(
@@ -78,7 +73,14 @@ class Detector:
                 bboxes=jnp.asarray(np.stack(bboxes), jnp.float32),
             )
             if output_masks:
-                outputs.register_tensor("masks", jnp.asarray(np.stack(masks)))
+                # one batched resize dispatch for all selected masks (a
+                # per-detection resize costs a ~40ms tunnel round trip each)
+                bk = np.asarray(sel)
+                ml = out["mask_logits"][jnp.asarray(bk[:, 0]),
+                                        jnp.asarray(bk[:, 1])]
+                ml = jax.image.resize(ml, (len(sel), H, W), method="bilinear")
+                masks = np.asarray(jax.nn.sigmoid(ml)) > mask_th
+                outputs.register_tensor("masks", jnp.asarray(masks))
         else:
             outputs = PandasTensorCollection(
                 pd.DataFrame(dict(batch_im_id=[], label=[], score=[])),

@@ -37,6 +37,12 @@ class PosePredictorConfig:
     render_size: tuple[int, int] = (240, 320)
     pose_dim: int = 9
     pooling: str = "gap"  # 'gap' (reference semantics) | 'gap+moments'
+    input_mode: str = "obs+render"  # | 'obs+render+diff' (9ch: + obs-render)
+    # The explicit difference channel makes the render-vs-observation
+    # discrepancy — the quantity the refiner must regress — first-order
+    # visible to the first conv layer instead of something it must learn to
+    # compute. Costs 3 input channels; reference parity mode is the 6-channel
+    # concat (ref: models/pose.py:104).
     # 'gap+moments' appends spatial first moments (mean of feat·x, feat·y over
     # a [-1,1] grid) to the pooled features. Plain GAP is translation-invariant
     # up to zero-padding border effects, so the image-space offset between the
@@ -64,8 +70,10 @@ class PosePredictorConfig:
 
 
 def make_backbone(cfg: PosePredictorConfig):
+    n_ch = 9 if cfg.input_mode == "obs+render+diff" else 6
     if cfg.backbone.startswith("efficientnet"):
-        bb = EfficientNet(variant=cfg.backbone, in_channels=6, dtype=cfg.compute_dtype)
+        bb = EfficientNet(variant=cfg.backbone, in_channels=n_ch,
+                          dtype=cfg.compute_dtype)
         return bb, bb.n_features
     if "resnet34" in cfg.backbone:
         bb = WideResNet34(dtype=cfg.compute_dtype)
@@ -144,9 +152,11 @@ class PosePredictor:
 
         # jit the whole init: eager flax init dispatches every layer op
         # separately, which costs minutes through a ~40ms/dispatch TPU tunnel
+        n_ch = 9 if self.cfg.input_mode == "obs+render+diff" else 6
+
         @jax.jit
         def _init(key):
-            dummy = jnp.zeros((1, h, w, 6), jnp.float32)
+            dummy = jnp.zeros((1, h, w, n_ch), jnp.float32)
             return self.net.init({"params": key}, dummy, train=False)
 
         return _init(key)
@@ -181,8 +191,13 @@ class PosePredictor:
             pallas_max_tris_per_tile=cfg.pallas_max_tris_per_tile,
         ).rgb  # (B, 3, H, W)
 
-        # 3. network forward on the 6-channel comparison stack (NHWC for TPU)
-        x = jnp.concatenate([images_crop, rendered], axis=1)
+        # 3. network forward on the comparison stack (NHWC for TPU)
+        if cfg.input_mode == "obs+render+diff":
+            x = jnp.concatenate(
+                [images_crop, rendered, images_crop - rendered], axis=1
+            )
+        else:
+            x = jnp.concatenate([images_crop, rendered], axis=1)
         x = jnp.moveaxis(x, 1, -1)
         if train:
             def net_apply(variables, x, rng):

@@ -27,14 +27,18 @@ logger = get_logger(__name__)
 
 
 class _DetectionGTEvaluation(DetectionEvaluation):
+    def __init__(self, scene_ds, meters, with_masks: bool = False, **kw):
+        super().__init__(scene_ds, meters, **kw)
+        self.with_masks = with_masks
+
     def collect_gt(self):
         from ..utils.tensor_collection import concatenate
 
         gts = []
         for idx in range(len(self.scene_ds)):
-            _, _, obs = self.scene_ds[idx]
+            _, segm, obs = self.scene_ds[idx]
             frame = obs["frame_info"]
-            rows, boxes = [], []
+            rows, boxes, masks = [], [], []
             for o in obs["objects"]:
                 if o.get("bbox") is None:
                     continue
@@ -44,13 +48,16 @@ class _DetectionGTEvaluation(DetectionEvaluation):
                          visib_fract=o.get("visib_fract", 1.0))
                 )
                 boxes.append(o["bbox"])
+                if self.with_masks:
+                    masks.append(segm == int(o.get("id_in_segm", -1)))
             if rows:
-                gts.append(
-                    PandasTensorCollection(
-                        pd.DataFrame(rows),
-                        bboxes=jnp.asarray(np.stack(boxes), jnp.float32),
-                    )
+                tc = PandasTensorCollection(
+                    pd.DataFrame(rows),
+                    bboxes=jnp.asarray(np.stack(boxes), jnp.float32),
                 )
+                if self.with_masks:
+                    tc.register_tensor("masks", jnp.asarray(np.stack(masks)))
+                gts.append(tc)
         return concatenate(gts)
 
 
@@ -64,6 +71,9 @@ def main():
                         help="object dataset (default <ds>.models; "
                              "'procedural' for the built-in set)")
     parser.add_argument("--detection-th", type=float, default=0.0)
+    parser.add_argument("--masks", action="store_true",
+                        help="also report mask AP/mAP (COCO-segm-style "
+                             "matching over the YOLACT mask head output)")
     parser.add_argument("--n-frames", type=int, default=None)
     parser.add_argument("--ds-root", default=None)
     parser.add_argument("--debug", action="store_true")
@@ -85,11 +95,15 @@ def main():
 
     detector = load_detector(args.detector, labels)
     runner = DetectionRunner(scene_ds)
-    preds = runner.get_predictions(detector, detection_th=args.detection_th)
+    preds = runner.get_predictions(detector, detection_th=args.detection_th,
+                                   output_masks=args.masks)
 
-    evaluator = _DetectionGTEvaluation(
-        scene_ds, {"bbox@0.5": DetectionMeter(iou_threshold=0.5)}
-    )
+    meters = {"bbox@0.5": DetectionMeter(iou_threshold=0.5)}
+    if args.masks:
+        meters["mask@0.5"] = DetectionMeter(iou_threshold=0.5,
+                                            match_by="mask")
+    evaluator = _DetectionGTEvaluation(scene_ds, meters,
+                                       with_masks=args.masks)
     metrics, _ = evaluator.evaluate(preds["detections"])
     for name, summary in metrics.items():
         logger.info(f"{name}: {summary}")

@@ -37,6 +37,8 @@ def main():
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--pretrain-run-id", default=None)
     parser.add_argument("--ds-root", default=None)
+    parser.add_argument("--no-eval-bundle", action="store_true",
+                        help="skip the default in-training eval bundle")
     args = parser.parse_args()
 
     cfg = make_cfg(args.config, debug=args.debug)
@@ -55,10 +57,23 @@ def main():
             ), repeat)
         )
     val_sets = []
+    val_scene_ds = None
     for ds_name, repeat in getattr(cfg, "val_ds_names", ()):
         scene_ds = make_scene_dataset(ds_name, ds_root=args.ds_root)
+        if val_scene_ds is None:
+            val_scene_ds = scene_ds
         val_sets.append((PoseDataset(scene_ds, resize=resize,
                                      apply_rgb_augmentation=False), repeat))
+
+    # default in-training eval bundle over the first val dataset
+    # (ref: training/train_pose.py:76-185 make_eval_bundle/run_eval)
+    eval_callback = None
+    if val_scene_ds is not None and not args.no_eval_bundle:
+        from ..evaluation.eval_bundle import make_eval_bundle
+        from ..models.pose_predictor import PosePredictor
+
+        pp = PosePredictor(cfg.train.predictor)
+        eval_callback = make_eval_bundle(cfg, pp, mesh_db, val_scene_ds)
 
     train_pose(
         cfg,
@@ -66,6 +81,7 @@ def main():
         mesh_db=mesh_db,
         resume=args.resume,
         pretrain_run_id=args.pretrain_run_id,
+        eval_callback=eval_callback,
     )
 
 

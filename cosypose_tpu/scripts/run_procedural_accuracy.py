@@ -32,6 +32,7 @@ from ..config import EXP_DIR, RESULTS_DIR
 from ..data.datasets_cfg import make_scene_dataset
 from ..data.procedural_objects import ProceduralObjectDataset
 from ..integrated.pose_predictor import CoarseRefinePosePredictor, LoadedPoseModel
+from ..evaluation.eval_bundle import collect_gt, per_pair_errors
 from ..evaluation.meters import PoseErrorMeter
 from ..models.pose_predictor import PosePredictor
 from ..ops.mesh_db import build_mesh_db
@@ -42,94 +43,6 @@ from ..utils.tensor_collection import PandasTensorCollection
 from ..utils.logging import get_logger
 
 logger = get_logger(__name__)
-
-
-def collect_gt(ds, n_frames: int, resize=None):
-    """First n_frames of the dataset → images, K, and per-object GT rows.
-    resize=(h, w) downsamples frames and rescales K (mini configs train at a
-    reduced input size)."""
-    from PIL import Image
-
-    images, Ks, rows, TCO = [], [], [], []
-    n = min(n_frames, len(ds))
-    for i in range(n):
-        rgb, _, obs = ds[i]
-        cam = obs["camera"]
-        K_i = np.asarray(cam["K"], np.float32).copy()
-        if resize is not None and tuple(rgb.shape[:2]) != tuple(resize):
-            h0, w0 = rgb.shape[:2]
-            h1, w1 = resize
-            rgb = np.asarray(
-                Image.fromarray(rgb).resize((w1, h1), Image.BILINEAR)
-            )
-            K_i[0] *= w1 / w0
-            K_i[1] *= h1 / h0
-        TCW = np.linalg.inv(np.asarray(cam["TWC"], np.float64))
-        images.append(np.moveaxis(rgb, -1, 0).astype(np.float32) / 255.0)
-        Ks.append(K_i)
-        for obj in obs["objects"]:
-            rows.append(
-                dict(
-                    scene_id=int(obs["frame_info"]["scene_id"]),
-                    view_id=int(obs["frame_info"]["view_id"]),
-                    label=obj["label"],
-                    visib_fract=float(obj.get("visib_fract", 1.0)),
-                    batch_im_id=i,
-                    score=1.0,
-                )
-            )
-            TCO.append((TCW @ np.asarray(obj["TWO"], np.float64)).astype(
-                np.float32))
-    infos = pd.DataFrame(rows)
-    return (np.stack(images), np.stack(Ks), infos,
-            np.stack(TCO).astype(np.float32))
-
-
-def per_pair_errors(mesh_db, labels, TCO_pred, TCO_gt):
-    """Known-correspondence error distribution: per-object ADD + decomposed
-    rotation / translation errors. Unlike the detection-protocol matched-AUC
-    (which saturates at the match rate), this sees every pair.
-
-    Returns a dict of floats: ADD mean/median/p90 (meters), ADD normalized by
-    object diameter (mean/median), rotation geodesic angle (deg, mean/median),
-    |Δxy| and |Δz| (meters, mean)."""
-    label_ids = mesh_db.ids_for(np.asarray(labels))
-    pts = np.asarray(mesh_db.points)[label_ids]        # (N, P, 3)
-    valid = np.asarray(mesh_db.valid)[label_ids]       # (N, P)
-    Tp = np.asarray(TCO_pred, np.float64)
-    Tg = np.asarray(TCO_gt, np.float64)
-
-    gt_pts = np.einsum("nij,npj->npi", Tg[:, :3, :3], pts) + Tg[:, None, :3, 3]
-    pr_pts = np.einsum("nij,npj->npi", Tp[:, :3, :3], pts) + Tp[:, None, :3, 3]
-    d = np.linalg.norm(gt_pts - pr_pts, axis=-1)       # (N, P)
-    w = valid.astype(np.float64)
-    add = (d * w).sum(1) / np.maximum(w.sum(1), 1.0)   # (N,)
-
-    # object diameters from the valid point cloud extent (for normalized ADD)
-    ctr = (pts * w[..., None]).sum(1, keepdims=True) / np.maximum(
-        w.sum(1)[:, None, None], 1.0)
-    radii = (np.linalg.norm(pts - ctr, axis=-1) * w).max(1)
-    diam = 2.0 * radii
-    add_rel = add / np.maximum(diam, 1e-9)
-
-    # rotation geodesic angle
-    R_rel = np.einsum("nij,nkj->nik", Tp[:, :3, :3], Tg[:, :3, :3])
-    cos = np.clip((np.trace(R_rel, axis1=1, axis2=2) - 1.0) / 2.0, -1.0, 1.0)
-    ang = np.degrees(np.arccos(cos))
-
-    dt = Tp[:, :3, 3] - Tg[:, :3, 3]
-    dxy = np.linalg.norm(dt[:, :2], axis=-1)
-    dz = np.abs(dt[:, 2])
-
-    return dict(
-        ADD_mean=float(add.mean()), ADD_median=float(np.median(add)),
-        ADD_p90=float(np.percentile(add, 90)),
-        ADD_rel_mean=float(add_rel.mean()),
-        ADD_rel_median=float(np.median(add_rel)),
-        frac_ADD_lt_0p1d=float((add_rel < 0.1).mean()),
-        rot_deg_mean=float(ang.mean()), rot_deg_median=float(np.median(ang)),
-        dxy_mean=float(dxy.mean()), dz_mean=float(dz.mean()),
-    )
 
 
 def evaluate(mesh_db, infos, poses, gt_infos, gt_poses, error_type="ADD(-S)"):
@@ -181,7 +94,7 @@ def main(argv=None):
         else "synthetic.procedural-4k.val"
     )
     ds = make_scene_dataset(dataset)
-    images, K, gt_infos, TCO_gt = collect_gt(
+    images, K, gt_infos, TCO_gt, _ = collect_gt(
         ds, args.n_frames, resize=tuple(getattr(cfg, "input_resize", ())) or None
     )
     logger.info(f"{len(gt_infos)} GT objects over {images.shape[0]} frames")

@@ -111,6 +111,37 @@ def make_cfg(config_name: str, debug: bool = False) -> RunConfig:
         cfg.object_ds_name = "procedural"
         cfg.input_resize = (240, 320)
         cfg.val_epoch_interval = 5
+    elif config_name.startswith("procedural-diag"):
+        # Short diagnostic arms for the refiner learning-dynamics study:
+        # procedural-diag[-rot][-gap][-nodiff][-lr<x>] — translation-only
+        # noise by default (the xy/z error is directly observable in the
+        # render-vs-crop comparison, so it isolates whether the signal path
+        # works at all from whether rotation regression is slow).
+        import jax.numpy as jnp
+
+        mini = dataclasses.replace(
+            predictor, backbone="wide-resnet18", render_size=(120, 160),
+            compute_dtype=jnp.bfloat16,
+            pooling="gap" if "-gap" in config_name else "gap+moments",
+            input_mode=("obs+render" if "-nodiff" in config_name
+                        else "obs+render+diff"),
+        )
+        lr = 1e-3
+        for part in config_name.split("-"):
+            if part.startswith("lr"):
+                lr = float(part[2:])
+        noise_euler = (10.0, 10.0, 10.0) if "-rot" in config_name else (0.0,) * 3
+        cfg = base(config_name, predictor=mini,
+                   input_generator="gt+noise", n_iterations=1,
+                   batch_size=64, epoch_size=6400, n_epochs=20,
+                   n_epochs_warmup=1, n_points_loss=600, lr=lr,
+                   noise_euler_deg=noise_euler,
+                   noise_trans=(0.01, 0.01, 0.03))
+        cfg.train_ds_names = (("synthetic.procedural-canon.train", 1),)
+        cfg.val_ds_names = (("synthetic.procedural-canon.val", 1),)
+        cfg.object_ds_name = "procedural"
+        cfg.input_resize = (120, 160)
+        cfg.val_epoch_interval = 10
     elif config_name == "procedural-refiner-mini-moments":
         # mini config + spatial-moment pooling: plain GAP hides the
         # observed-vs-rendered image offset from the head behind zero-padding

