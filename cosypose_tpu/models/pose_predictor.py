@@ -38,6 +38,14 @@ class PosePredictorConfig:
     pose_dim: int = 9
     pooling: str = "gap"  # 'gap' (reference semantics) | 'gap+moments'
     input_mode: str = "obs+render"  # | 'obs+render+diff' (9ch: + obs-render)
+    vxvy_scale: float = 1.0
+    # Output gain on the vx/vy head. The image-space update consumes vx/vy in
+    # crop PIXELS (Δuv = f_crop·Δxy/z is O(10) for centimeter offsets) while
+    # every other head output is O(0.1); with per-parameter-bounded optimizers
+    # (Adam moves each weight ≲lr per step) the vx/vy head weights must grow
+    # ~100× farther than the rest, which is a large share of why the reference
+    # needs its 80.6M-sample schedule. A gain of 10-30 equalizes the scales;
+    # 1.0 reproduces reference semantics (ref: lib3d/cosypose_ops.py:10-31).
     # The explicit difference channel makes the render-vs-observation
     # discrepancy — the quantity the refiner must regress — first-order
     # visible to the first conv layer instead of something it must learn to
@@ -126,12 +134,18 @@ class PoseNet(nn.Module):
             mx = (feats * fx).mean(axis=(1, 2)).astype(jnp.float32)
             my = (feats * fy).mean(axis=(1, 2)).astype(jnp.float32)
             pooled = jnp.concatenate([pooled, mx, my], axis=-1)
-        return nn.Dense(
+        out = nn.Dense(
             self.cfg.pose_dim,
             dtype=jnp.float32,
             bias_init=_identity_pose_bias(self.cfg.pose_dim),
             name="pose_fc",
         )(pooled)
+        if self.cfg.vxvy_scale != 1.0:
+            vx0 = 6 if self.cfg.pose_dim == 9 else 4
+            gain = jnp.ones(self.cfg.pose_dim, jnp.float32)
+            gain = gain.at[vx0:vx0 + 2].set(self.cfg.vxvy_scale)
+            out = out * gain
+        return out
 
 
 class PosePredictor:

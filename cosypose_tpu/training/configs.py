@@ -130,6 +130,8 @@ def make_cfg(config_name: str, debug: bool = False) -> RunConfig:
         for part in config_name.split("-"):
             if part.startswith("lr"):
                 lr = float(part[2:])
+            elif part.startswith("vs"):
+                mini = dataclasses.replace(mini, vxvy_scale=float(part[2:]))
         noise_euler = (10.0, 10.0, 10.0) if "-rot" in config_name else (0.0,) * 3
         cfg = base(config_name, predictor=mini,
                    input_generator="gt+noise", n_iterations=1,
