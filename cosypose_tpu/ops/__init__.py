@@ -24,6 +24,7 @@ from .roi_align import roi_align
 from .losses import (
     loss_CO_symmetric,
     loss_refiner_CO_disentangled,
+    loss_refiner_aux_regression,
     compute_ADD_L1_loss,
     compute_ADDS_loss,
 )

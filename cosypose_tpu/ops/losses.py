@@ -91,6 +91,68 @@ def loss_refiner_CO_disentangled(
     return loss_orn + loss_xy + loss_z
 
 
+def loss_refiner_aux_regression(
+    TCO_gt: jax.Array,
+    TCO_input: jax.Array,
+    refiner_outputs: jax.Array,
+    K_crop: jax.Array,
+    pose_dim: int = 9,
+    rot_lever_m: float = 0.05,
+) -> jax.Array:
+    """L2 regression to the closed-form optimal head outputs → (B,).
+
+    The disentangled point loss above is L1 in point space: at the
+    constant-identity basin (model outputs the identity update regardless of
+    input) its gradient is sign(residual) — magnitude-independent — so
+    escaping the basin rides on a second-order feature/residual correlation.
+    That is a large share of why the reference needs its 80.6M-sample
+    schedule (ref: scripts/run_pose_training.py:61-63). The pose update
+    (ops/pose_ops.py:pose_update) is invertible in closed form, so the
+    optimal head outputs are computable targets:
+
+        vxvy* = f_crop · (xy_gt/z_gt − xy_in/z_in)      [crop pixels]
+        vz*   = z_gt / z_in
+        dR*   = R_gt · R_inᵀ
+
+    An L2 penalty on them has gradient proportional to the residual (linear
+    regression dynamics) and the same minimizer for asymmetric objects; for
+    symmetric ones it biases toward the canonical GT, so use it as a
+    *weighted auxiliary* next to the symmetric point loss, which remains the
+    objective of record. All components are expressed in meters (rotation
+    residual scaled by a lever arm) so a single weight applies.
+    """
+    if pose_dim == 9:
+        dR = rot6d_to_matrix(refiner_outputs[:, 0:6])
+        vxvyvz = refiner_outputs[:, 6:9]
+    elif pose_dim == 7:
+        dR = quat_to_matrix(refiner_outputs[:, 0:4])
+        vxvyvz = refiner_outputs[:, 4:7]
+    else:
+        raise ValueError(f"pose_dim={pose_dim} not supported")
+
+    R_in = TCO_input[:, :3, :3]
+    R_gt = TCO_gt[:, :3, :3]
+    dR_star = jnp.matmul(
+        R_gt, jnp.swapaxes(R_in, -1, -2), precision=jax.lax.Precision.HIGHEST
+    )
+    z_in = TCO_input[:, 2, 3]
+    z_gt = TCO_gt[:, 2, 3]
+    fxfy = jnp.stack([K_crop[:, 0, 0], K_crop[:, 1, 1]], axis=-1)
+    vxvy_star = fxfy * (
+        TCO_gt[:, :2, 3] / z_gt[:, None] - TCO_input[:, :2, 3] / z_in[:, None]
+    )
+    vz_star = z_gt / z_in
+
+    d_xy = (vxvyvz[:, :2] - vxvy_star) / fxfy * z_gt[:, None]  # meters
+    d_z = (vxvyvz[:, 2] - vz_star) * z_in  # meters
+    d_R = dR - dR_star
+    return (
+        (d_xy**2).sum(-1)
+        + d_z**2
+        + rot_lever_m**2 * (d_R**2).sum((-1, -2))
+    )
+
+
 def compute_ADD_L1_loss(
     TCO_gt: jax.Array, TCO_pred: jax.Array, points: jax.Array
 ) -> jax.Array:

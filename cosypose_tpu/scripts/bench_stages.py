@@ -55,7 +55,9 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/cosypose_tpu_bench_cache")
+    # per-backend cache dir: CPU AOT entries from another host can SIGILL
+    jax.config.update("jax_compilation_cache_dir",
+                      f"/tmp/cosypose_tpu_bench_cache_{jax.default_backend()}")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
     from __graft_entry__ import _demo_specs, _make_inputs

@@ -127,18 +127,25 @@ def make_cfg(config_name: str, debug: bool = False) -> RunConfig:
                         else "obs+render+diff"),
         )
         lr = 1e-3
+        aux = 0.0
+        n_epochs = 20
         for part in config_name.split("-"):
             if part.startswith("lr"):
                 lr = float(part[2:])
             elif part.startswith("vs"):
                 mini = dataclasses.replace(mini, vxvy_scale=float(part[2:]))
+            elif part.startswith("aux"):
+                aux = float(part[3:])
+            elif part.startswith("ep"):
+                n_epochs = int(part[2:])
         noise_euler = (10.0, 10.0, 10.0) if "-rot" in config_name else (0.0,) * 3
         cfg = base(config_name, predictor=mini,
                    input_generator="gt+noise", n_iterations=1,
-                   batch_size=64, epoch_size=6400, n_epochs=20,
+                   batch_size=64, epoch_size=6400, n_epochs=n_epochs,
                    n_epochs_warmup=1, n_points_loss=600, lr=lr,
                    noise_euler_deg=noise_euler,
-                   noise_trans=(0.01, 0.01, 0.03))
+                   noise_trans=(0.01, 0.01, 0.03),
+                   aux_regression_weight=aux)
         cfg.train_ds_names = (("synthetic.procedural-canon.train", 1),)
         cfg.val_ds_names = (("synthetic.procedural-canon.val", 1),)
         cfg.object_ds_name = "procedural"

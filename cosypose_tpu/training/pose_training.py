@@ -29,7 +29,8 @@ from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.pose_predictor import PosePredictor, PosePredictorConfig
-from ..ops.losses import loss_refiner_CO_disentangled, compute_ADD_L1_loss
+from ..ops.losses import (compute_ADD_L1_loss, loss_refiner_CO_disentangled,
+                          loss_refiner_aux_regression)
 from ..ops.pose_ops import TCO_init_from_boxes, TCO_init_from_boxes_zup_autodepth
 from ..ops.transforms import add_pose_noise
 
@@ -42,6 +43,12 @@ class PoseTrainConfig:
     input_generator: str = "fixed"        # fixed | gt+noise | fixed+trans_noise
     loss_disentangled: bool = True
     n_points_loss: int = 2600
+    # auxiliary L2 regression to the closed-form optimal head outputs —
+    # escapes the constant-identity basin orders of magnitude faster than the
+    # L1 point loss alone (see ops/losses.py:loss_refiner_aux_regression);
+    # 0.0 reproduces reference semantics
+    aux_regression_weight: float = 0.0
+    aux_rot_lever_m: float = 0.05
     # gt+noise input-generator magnitudes (ref: pose_forward_loss.py:36-40)
     noise_euler_deg: tuple = (15.0, 15.0, 15.0)
     noise_trans: tuple = (0.01, 0.01, 0.05)
@@ -182,12 +189,22 @@ def pose_loss(pp: PosePredictor, cfg: PoseTrainConfig, params, batch_stats,
 
     def per_iter_loss(TCO_input, TCO_output, K_crop, pose_outputs):
         if cfg.loss_disentangled:
-            return loss_refiner_CO_disentangled(
+            l, comps = loss_refiner_CO_disentangled(
                 TCO_possible_gt, TCO_input, pose_outputs, K_crop, points,
                 pose_dim=cfg.predictor.pose_dim, return_components=True,
             )
-        l = compute_ADD_L1_loss(TCO_possible_gt[:, 0], TCO_output, points)
-        return l, dict(loss_orn=l, loss_xy=l, loss_z=l)
+        else:
+            l = compute_ADD_L1_loss(TCO_possible_gt[:, 0], TCO_output, points)
+            comps = dict(loss_orn=l, loss_xy=l, loss_z=l)
+        if cfg.aux_regression_weight > 0.0:
+            aux = loss_refiner_aux_regression(
+                TCO_possible_gt[:, 0], TCO_input, pose_outputs, K_crop,
+                pose_dim=cfg.predictor.pose_dim,
+                rot_lever_m=cfg.aux_rot_lever_m,
+            )
+            l = l + cfg.aux_regression_weight * aux
+            comps = dict(comps, loss_aux=aux)
+        return l, comps
 
     losses, comps = jax.vmap(per_iter_loss)(
         outs["TCO_input"], outs["TCO_output"], outs["K_crop"], outs["pose_outputs"]

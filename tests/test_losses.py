@@ -140,3 +140,55 @@ def test_chamfer_zero_same_pose():
     T = jnp.asarray(eye4(2))
     d = chamfer_dist(T, T, jnp.asarray(pts))
     np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-6)
+
+
+def test_aux_regression_zero_at_optimal_and_floor_at_identity():
+    """The aux L2 regression loss (ops/losses.py:loss_refiner_aux_regression)
+    is zero when the head outputs the closed-form optimal delta, and equals
+    the squared pose error (meters²) when the head outputs identity."""
+    from cosypose_tpu.ops import loss_refiner_aux_regression
+    from cosypose_tpu.ops.transforms import matrix_to_rot6d
+
+    K = np.zeros((1, 3, 3), np.float32)
+    K[:, 0, 0] = K[:, 1, 1] = 600
+    K[:, 0, 2], K[:, 1, 2], K[:, 2, 2] = 320, 240, 1
+    T_input = eye4(1)
+    T_input[0, :3, 3] = [0.02, -0.01, 1.1]
+    T_gt = eye4(1)
+    T_gt[0, :3, :3] = rotz(0.2)
+    T_gt[0, :3, 3] = [0.04, 0.01, 0.9]
+
+    dR = T_gt[0, :3, :3] @ T_input[0, :3, :3].T
+    vz = T_gt[0, 2, 3] / T_input[0, 2, 3]
+    vx = (T_gt[0, 0, 3] / T_gt[0, 2, 3] - T_input[0, 0, 3] / T_input[0, 2, 3]) * 600
+    vy = (T_gt[0, 1, 3] / T_gt[0, 2, 3] - T_input[0, 1, 3] / T_input[0, 2, 3]) * 600
+    r6 = matrix_to_rot6d(jnp.asarray(dR[None]))
+    optimal = jnp.concatenate([r6, jnp.asarray([[vx, vy, vz]])], axis=-1)
+    loss_opt = loss_refiner_aux_regression(
+        jnp.asarray(T_gt), jnp.asarray(T_input), optimal, jnp.asarray(K)
+    )
+    np.testing.assert_allclose(np.asarray(loss_opt), 0.0, atol=1e-6)
+
+    identity = jnp.concatenate(
+        [matrix_to_rot6d(jnp.eye(3)[None]), jnp.asarray([[0.0, 0.0, 1.0]])],
+        axis=-1,
+    )
+    loss_id = float(
+        loss_refiner_aux_regression(
+            jnp.asarray(T_gt), jnp.asarray(T_input), identity, jnp.asarray(K),
+            rot_lever_m=0.05,
+        )[0]
+    )
+    # identity residuals: d_xy relates to the xy/z offsets scaled to meters at
+    # z_gt; d_z = z_gt - z_in; rotation Frobenius scaled by the lever arm
+    d_xy = (
+        np.array([T_gt[0, 0, 3] / T_gt[0, 2, 3] - T_input[0, 0, 3] / T_input[0, 2, 3],
+                  T_gt[0, 1, 3] / T_gt[0, 2, 3] - T_input[0, 1, 3] / T_input[0, 2, 3]])
+        * T_gt[0, 2, 3]
+    )
+    expect = (
+        (d_xy**2).sum()
+        + (T_gt[0, 2, 3] - T_input[0, 2, 3]) ** 2
+        + 0.05**2 * ((np.eye(3) - dR) ** 2).sum()
+    )
+    np.testing.assert_allclose(loss_id, expect, rtol=1e-5)
