@@ -128,6 +128,11 @@ def main():
             extras["mfu_pct"] = round(100.0 * tflops / peak, 2)
     extras["batch"] = BATCH
     extras["dtype"] = "bfloat16"
+    # the CPU baseline runs B=4 (a B=128 CPU run is impractically slow);
+    # vs_baseline therefore compares per-crop throughput across batch sizes —
+    # labeled here so the ratio is read as the strawman it is (the honest
+    # silicon-relative number is mfu_pct)
+    extras["baseline_batch"] = 4
 
     print(
         json.dumps(

@@ -59,7 +59,11 @@ def _run_single(n_devices: int, batch: int, steps: int) -> dict:
                                        make_train_step)
 
     verts, faces = _sphere_mesh(n_theta=8, n_phi=12)
-    specs = [MeshSpec(label="obj_000001", vertices=verts * 1000.0, faces=faces)]
+    # two objects: _make_inputs draws label_ids in {0, 1}
+    specs = [
+        MeshSpec(label="obj_000001", vertices=verts * 1000.0, faces=faces),
+        MeshSpec(label="obj_000002", vertices=verts * 1500.0, faces=faces),
+    ]
 
     mesh = make_mesh(n_devices)
     cfg = PoseTrainConfig(
