@@ -51,6 +51,22 @@ CONFIGS = dict(
                                     min_visible_pixels=150,
                                     n_views_per_scene=10,
                                 ))},
+    # clean tier for refiner learnability regressions: ONE canonical-
+    # appearance object floating on a bare background (no cage, no pile) —
+    # the render-vs-observation compare signal is not buried under clutter,
+    # so generalizing refinement is demonstrable at small sample budgets
+    # (the cluttered tiers reproduce the reference's 80.6M-sample physics)
+    **{"procedural-solo": dict(obj="procedural", resolution=(240, 320),
+                               focal=(530.0, 540.0), n_frames=8_000,
+                               p_textured=0.0,
+                               sampler_kwargs=dict(
+                                   camera_distance_interval=(0.45, 1.0),
+                                   n_objects_interval=(1, 2),
+                                   min_visible_pixels=150,
+                                   n_views_per_scene=10,
+                                   place_mode="floating",
+                                   p_cage=0.0,
+                               ))},
 )
 
 

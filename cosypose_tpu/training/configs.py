@@ -146,8 +146,9 @@ def make_cfg(config_name: str, debug: bool = False) -> RunConfig:
                    noise_euler_deg=noise_euler,
                    noise_trans=(0.01, 0.01, 0.03),
                    aux_regression_weight=aux)
-        cfg.train_ds_names = (("synthetic.procedural-canon.train", 1),)
-        cfg.val_ds_names = (("synthetic.procedural-canon.val", 1),)
+        ds = "procedural-solo" if "-solo" in config_name else "procedural-canon"
+        cfg.train_ds_names = ((f"synthetic.{ds}.train", 1),)
+        cfg.val_ds_names = ((f"synthetic.{ds}.val", 1),)
         cfg.object_ds_name = "procedural"
         cfg.input_resize = (120, 160)
         cfg.val_epoch_interval = 10
