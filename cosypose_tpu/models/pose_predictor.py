@@ -92,6 +92,11 @@ def make_backbone(cfg: PosePredictorConfig):
     if cfg.backbone == "flownet":
         bb = FlowNetSEncoder(dtype=cfg.compute_dtype)
         return bb, bb.n_features
+    if cfg.backbone == "corrnet":
+        from .corrnet import CorrNet
+
+        bb = CorrNet(dtype=cfg.compute_dtype)
+        return bb, bb.n_features
     raise ValueError(f"Unknown backbone {cfg.backbone}")
 
 

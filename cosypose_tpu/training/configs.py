@@ -120,7 +120,9 @@ def make_cfg(config_name: str, debug: bool = False) -> RunConfig:
         import jax.numpy as jnp
 
         mini = dataclasses.replace(
-            predictor, backbone="wide-resnet18", render_size=(120, 160),
+            predictor,
+            backbone="corrnet" if "-corr" in config_name else "wide-resnet18",
+            render_size=(120, 160),
             compute_dtype=jnp.bfloat16,
             pooling="gap" if "-gap" in config_name else "gap+moments",
             input_mode=("obs+render" if "-nodiff" in config_name
