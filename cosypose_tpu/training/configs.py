@@ -131,6 +131,7 @@ def make_cfg(config_name: str, debug: bool = False) -> RunConfig:
         lr = 1e-3
         aux = 0.0
         n_epochs = 20
+        n_iterations = 1
         for part in config_name.split("-"):
             if part.startswith("lr"):
                 lr = float(part[2:])
@@ -140,9 +141,11 @@ def make_cfg(config_name: str, debug: bool = False) -> RunConfig:
                 aux = float(part[3:])
             elif part.startswith("ep"):
                 n_epochs = int(part[2:])
+            elif part.startswith("it"):
+                n_iterations = int(part[2:])
         noise_euler = (10.0, 10.0, 10.0) if "-rot" in config_name else (0.0,) * 3
         cfg = base(config_name, predictor=mini,
-                   input_generator="gt+noise", n_iterations=1,
+                   input_generator="gt+noise", n_iterations=n_iterations,
                    batch_size=64, epoch_size=6400, n_epochs=n_epochs,
                    n_epochs_warmup=1, n_points_loss=600, lr=lr,
                    noise_euler_deg=noise_euler,
