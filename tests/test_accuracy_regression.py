@@ -112,9 +112,38 @@ def test_accuracy_eval_pipeline():
         "--n-iterations", "2",
     ])
     for name in ("init", "refined"):
-        s = results[name]
+        s = results["matched_auc"][name]
         assert np.isfinite(s["AUC"]) and np.isfinite(s["0.1d"])
         assert s["n_gt"] > 0
+    # per-pair protocol: finite error stats for init and both iterations
+    for name in ("init", "iteration=1", "iteration=2"):
+        e = results["per_pair"][name]
+        assert np.isfinite(e["ADD_median"]) and e["ADD_median"] > 0
     # init distribution sanity: the mini noise leaves a small but nonzero
     # fraction of poses within the 0.1d matching threshold
-    assert 0.0 <= results["init"]["0.1d"] <= 1.0
+    assert 0.0 <= results["matched_auc"]["init"]["0.1d"] <= 1.0
+
+
+_SOLO_DS = LOCAL_DATA_DIR / "synt_datasets" / "procedural-solo"
+_SOLO_RUN = EXP_DIR / "procedural-diag-lr0.003-solo"
+
+
+@pytest.mark.skipif(
+    not (_SOLO_DS.exists() and (_SOLO_RUN / "checkpoint").exists()),
+    reason="needs recorded procedural-solo + trained solo refiner",
+)
+def test_heldout_refinement_improves_median_ADD():
+    """The headline capability regression (VERDICT r2 #1): the shipped
+    solo-tier refiner must improve held-out per-pair median ADD by a clear
+    margin after one iteration. Round-3 measurement: 25.5mm -> 16.5mm
+    (-35%); pinned with slack at -15%."""
+    from cosypose_tpu.scripts.run_procedural_accuracy import main
+
+    results = main([
+        "--run-id", "procedural-diag-lr0.003-solo",
+        "--n-frames", "48",
+        "--n-iterations", "1",
+    ])
+    init = results["per_pair"]["init"]["ADD_median"]
+    refined = results["per_pair"]["iteration=1"]["ADD_median"]
+    assert refined < 0.85 * init, (init, refined)
