@@ -35,6 +35,38 @@ class VisibilityWrapper:
         return rgb, mask, obs
 
 
+class ConcatSceneDataset:
+    """Concatenation of several scene datasets (ref trains its detector over
+    synt+real dataset lists, cosypose/scripts/run_detector_training.py — the
+    rebuild's recorded tiers are combined the same way)."""
+
+    def __init__(self, datasets):
+        self.datasets = list(datasets)
+        self._offsets = []
+        total = 0
+        for ds in self.datasets:
+            self._offsets.append(total)
+            total += len(ds)
+        self._len = total
+
+    def __len__(self):
+        return self._len
+
+    @property
+    def frame_index(self):
+        import pandas as pd
+
+        return pd.concat(
+            [ds.frame_index for ds in self.datasets], ignore_index=True
+        )
+
+    def __getitem__(self, idx):
+        for ds, off in zip(reversed(self.datasets), reversed(self._offsets)):
+            if idx >= off:
+                return ds[idx - off]
+        raise IndexError(idx)
+
+
 class MultiViewWrapper:
     """Groups each scene's frames into view groups of size ≤ n_views with a
     deterministic seeded permutation; __getitem__(group_idx) returns the list

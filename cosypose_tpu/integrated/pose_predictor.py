@@ -111,7 +111,9 @@ class CoarseRefinePosePredictor:
 
     # -- TCO init from detections (ref: pose_predictor.py:65-74) ----------
     def make_TCO_init(self, detections: PandasTensorCollection, K):
-        model = self.coarse_model
+        # box-seeded init; without a coarse model the refiner's mesh_db and
+        # init method are used (z-up auto-depth directly into the refiner)
+        model = self.coarse_model or self.refiner_model
         K_dets = jnp.asarray(K)[jnp.asarray(detections.infos["batch_im_id"].values)]
         boxes = jnp.asarray(detections.bboxes)
         if model.init_method == "z-up+auto-depth":
@@ -129,16 +131,22 @@ class CoarseRefinePosePredictor:
                         n_coarse_iterations=1, n_refiner_iterations=1):
         preds = {}
         if data_TCO_init is None:
-            assert detections is not None and self.coarse_model is not None
-            assert n_coarse_iterations > 0
+            assert detections is not None
             data_TCO_init = self.make_TCO_init(detections, K)
-            coarse_preds = self.batched_model_predictions(
-                self.coarse_model, images, K, data_TCO_init,
-                n_iterations=n_coarse_iterations,
-            )
-            for n in range(1, n_coarse_iterations + 1):
-                preds[f"coarse/iteration={n}"] = coarse_preds[f"iteration={n}"]
-            data_TCO = coarse_preds[f"iteration={n_coarse_iterations}"]
+            if n_coarse_iterations > 0:
+                assert self.coarse_model is not None
+                coarse_preds = self.batched_model_predictions(
+                    self.coarse_model, images, K, data_TCO_init,
+                    n_iterations=n_coarse_iterations,
+                )
+                for n in range(1, n_coarse_iterations + 1):
+                    preds[f"coarse/iteration={n}"] = (
+                        coarse_preds[f"iteration={n}"])
+                data_TCO = coarse_preds[f"iteration={n_coarse_iterations}"]
+            else:
+                # box-seeded init straight into the refiner (no coarse model)
+                data_TCO = data_TCO_init
+                preds["coarse/box_init"] = data_TCO_init
         else:
             assert n_coarse_iterations == 0
             data_TCO = data_TCO_init

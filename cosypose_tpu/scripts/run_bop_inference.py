@@ -13,6 +13,7 @@ from __future__ import annotations
 import argparse
 import pathlib
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..bop_config import BOP_CONFIG, PBR_COARSE, PBR_DETECTORS, PBR_REFINER
@@ -99,7 +100,17 @@ def load_detector(run_id, label_to_category_id, exp_dir=None):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--dataset", required=True, choices=list(BOP_CONFIG))
+    parser.add_argument(
+        "--dataset", required=True,
+        choices=list(BOP_CONFIG) + ["procedural"],
+        help="BOP dataset name, or 'procedural' to compose the trained "
+             "detector->coarse->refiner pipeline over the recorded "
+             "synthetic.procedural-4k.val scenes",
+    )
+    parser.add_argument("--inference-ds", default=None,
+                        help="override the scene dataset name (e.g. "
+                             "synthetic.procedural-solo.val)")
+    parser.add_argument("--n-frames", type=int, default=None)
     parser.add_argument("--detector", default=None)
     parser.add_argument("--coarse", default=None)
     parser.add_argument("--refiner", default=None)
@@ -111,21 +122,39 @@ def main():
     args = parser.parse_args()
 
     ds = args.dataset
-    cfg = BOP_CONFIG[ds]
-    scene_ds = make_scene_dataset(cfg["inference_ds_name"][0],
-                                  ds_root=args.ds_root,
-                                  load_depth=args.icp)
+    if ds == "procedural":
+        from ..data.procedural_objects import ProceduralObjectDataset
+
+        inference_ds = args.inference_ds or "synthetic.procedural-4k.val"
+        scene_ds = make_scene_dataset(inference_ds, ds_root=args.ds_root)
+        obj_ds = ProceduralObjectDataset()
+        mesh_db = build_mesh_db(obj_ds.mesh_specs())
+        labels = {l: i for i, l in enumerate(obj_ds.labels)}
+        default_det, default_coarse, default_ref = (
+            "detector-procedural", None, "procedural-refiner-mini")
+    else:
+        cfg = BOP_CONFIG[ds]
+        inference_ds = args.inference_ds or cfg["inference_ds_name"][0]
+        scene_ds = make_scene_dataset(inference_ds, ds_root=args.ds_root,
+                                      load_depth=args.icp)
+        obj_ds = make_object_dataset(cfg["obj_ds_name"], ds_root=args.ds_root)
+        mesh_db = build_mesh_db(obj_ds.mesh_specs())
+        labels = {o["label"]: i for i, o in enumerate(obj_ds.objects)}
+        default_det, default_coarse, default_ref = (
+            PBR_DETECTORS[ds], PBR_COARSE[ds], PBR_REFINER[ds])
     if args.debug:
         scene_ds.frame_index = scene_ds.frame_index.iloc[:4].reset_index(drop=True)
+    elif args.n_frames:
+        scene_ds.frame_index = scene_ds.frame_index.iloc[
+            :args.n_frames].reset_index(drop=True)
     ds_multi = MultiViewWrapper(scene_ds, n_views=args.nviews)
 
-    obj_ds = make_object_dataset(cfg["obj_ds_name"], ds_root=args.ds_root)
-    mesh_db = build_mesh_db(obj_ds.mesh_specs())
-    labels = {o["label"]: i for i, o in enumerate(obj_ds.objects)}
-
-    detector = load_detector(args.detector or PBR_DETECTORS[ds], labels)
-    coarse = load_pose_model(args.coarse or PBR_COARSE[ds], mesh_db)
-    refiner = load_pose_model(args.refiner or PBR_REFINER[ds], mesh_db)
+    detector = load_detector(args.detector or default_det, labels)
+    coarse_run = args.coarse or default_coarse
+    refiner_run = args.refiner or default_ref
+    # coarse optional: box-seeded init (z-up auto-depth) feeds the refiner
+    coarse = load_pose_model(coarse_run, mesh_db) if coarse_run else None
+    refiner = load_pose_model(refiner_run, mesh_db)
     pose_predictor = CoarseRefinePosePredictor(coarse, refiner)
 
     mv_predictor = None
@@ -135,8 +164,10 @@ def main():
         mv_predictor = MultiviewScenePredictor(mesh_db_aabb)
     icp = ICPRefiner(mesh_db) if args.icp else None
 
-    runner = BopPredictionRunner(ds_multi, n_coarse_iterations=1,
-                                 n_refiner_iterations=4)
+    runner = BopPredictionRunner(
+        ds_multi, n_coarse_iterations=1 if coarse else 0,
+        n_refiner_iterations=4,
+    )
     preds = runner.get_predictions(
         detector, pose_predictor, mv_predictor=mv_predictor, icp_refiner=icp,
         detection_th=args.detection_th,
@@ -148,6 +179,49 @@ def main():
         csv = out_dir / f"cosyposetpu_{key}-{ds}-test.csv"
         predictions_to_bop_csv(tc, csv)
         logger.info(f"Wrote {csv} ({len(tc)} predictions)")
+
+    if ds == "procedural":
+        # recorded GT is on disk, so the BOP-style AR summary is computed
+        # internally (the external bop_toolkit boundary stays the CSV above;
+        # ref protocol: evaluation/pred_runner/bop_predictions.py:75-151)
+        import json
+
+        from ..evaluation.eval_bundle import collect_gt
+        from ..evaluation.meters import PoseErrorMeter
+        from ..utils.tensor_collection import PandasTensorCollection
+
+        _, _, gt_infos, TCO_gt, _ = collect_gt(
+            scene_ds, len(scene_ds.frame_index)
+        )
+        gt_tc = PandasTensorCollection(gt_infos.copy(),
+                                       poses=jnp.asarray(TCO_gt))
+        metrics = {}
+        for key, tc in preds.items():
+            meter = PoseErrorMeter(mesh_db, error_type="ADD(-S)",
+                                   report_error_AUC=True,
+                                   report_error_stats=True)
+            meter.add(tc, gt_tc)
+            summary = meter.summary()
+            if isinstance(summary, tuple):
+                summary = summary[0]
+            metrics[key] = {
+                k: float(v) for k, v in summary.items()
+                if isinstance(v, (int, float, np.floating))
+            }
+            logger.info(
+                f"{key}: AUC={metrics[key].get('AUC', float('nan')):.4f} "
+                f"0.1d={metrics[key].get('0.1d', float('nan')):.4f} "
+                f"n_gt={metrics[key].get('n_gt', 0):.0f}"
+            )
+        mpath = out_dir / f"metrics-{inference_ds.replace('.', '_')}.json"
+        with open(mpath, "w") as f:
+            json.dump(dict(dataset=inference_ds,
+                           detector=args.detector or default_det,
+                           coarse=coarse_run, refiner=refiner_run,
+                           detection_th=args.detection_th,
+                           n_frames=int(len(scene_ds.frame_index)),
+                           metrics=metrics), f, indent=2)
+        logger.info(f"wrote {mpath}")
 
 
 if __name__ == "__main__":

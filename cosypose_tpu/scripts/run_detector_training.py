@@ -79,22 +79,32 @@ def main():
     parser.add_argument("--n-epochs", type=int, default=None)
     args = parser.parse_args()
 
-    if args.config == "detector-procedural":
-        # data-free end-to-end config over the recorded procedural set
+    if args.config.startswith("detector-procedural"):
+        # data-free end-to-end config over the recorded procedural set;
+        # detector-procedural-all trains over every recorded tier (4k piles
+        # + canon piles + solo) with a longer schedule
         from ..data.procedural_objects import ProceduralObjectDataset
+        from ..data.wrappers import ConcatSceneDataset
 
         obj_ds = ProceduralObjectDataset()
         label_to_cat = {l: i for i, l in enumerate(obj_ds.labels)}
         h, w = 240, 320
+        use_all = args.config == "detector-procedural-all"
         tcfg = DetectorTrainConfig(
             detector=DetectorConfig(n_classes=len(label_to_cat)),
             batch_size=4 if args.debug else 16,
             epoch_size=32 if args.debug else 3200,
-            n_epochs=2 if args.debug else (args.n_epochs or 30),
+            n_epochs=2 if args.debug else (args.n_epochs or (90 if use_all
+                                                             else 30)),
             n_epochs_warmup=1,
+            lr_epoch_decay=40 if use_all else 100,
         )
-        scene_ds = make_scene_dataset("synthetic.procedural-4k.train",
-                                      ds_root=args.ds_root)
+        names = (["synthetic.procedural-4k.train",
+                  "synthetic.procedural-canon.train",
+                  "synthetic.procedural-solo.train"] if use_all
+                 else ["synthetic.procedural-4k.train"])
+        sets = [make_scene_dataset(n, ds_root=args.ds_root) for n in names]
+        scene_ds = sets[0] if len(sets) == 1 else ConcatSceneDataset(sets)
         det_ds = DetectionDataset(scene_ds, label_to_cat, resize=(h, w))
     else:
         # config name: detector-bop-<ds>-{pbr|synt+real}

@@ -216,3 +216,34 @@ def test_mesh_decimation():
     assert nf.shape[0] > 50
     r = np.linalg.norm(nv, axis=-1)
     assert abs(r.mean() - 1.0) < 0.1  # still sphere-ish
+
+
+def test_concat_scene_dataset():
+    from cosypose_tpu.data.wrappers import ConcatSceneDataset
+
+    class _Fake:
+        def __init__(self, n, tag):
+            self.n, self.tag = n, tag
+
+        def __len__(self):
+            return self.n
+
+        @property
+        def frame_index(self):
+            import pandas as pd
+
+            return pd.DataFrame(dict(scene_id=[self.tag] * self.n,
+                                     view_id=range(self.n)))
+
+        def __getitem__(self, i):
+            if not 0 <= i < self.n:
+                raise IndexError(i)
+            return (self.tag, i, {})
+
+    ds = ConcatSceneDataset([_Fake(3, "a"), _Fake(2, "b")])
+    assert len(ds) == 5
+    assert ds[0] == ("a", 0, {})
+    assert ds[2] == ("a", 2, {})
+    assert ds[3] == ("b", 0, {})
+    assert ds[4] == ("b", 1, {})
+    assert len(ds.frame_index) == 5
