@@ -35,6 +35,33 @@ def _measure(fn, args, reps=10):
     return (time.perf_counter() - t0) / reps
 
 
+def _chain(stage_fn, k):
+    """One jitted program applying stage_fn k times sequentially.
+
+    The tunneled backend has a ~30-40 ms dispatch+sync floor per Python
+    call, which buries sub-30 ms device times (measured: every stage
+    'costs' ~30 ms per call regardless of work). Chaining k applications
+    inside one jit amortizes the floor to 1/k; a 1e-30-scaled reduction of
+    each output is folded into a carried input so XLA cannot elide or
+    parallelize the repeats.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chained(TCO, *rest):
+        def body(carry, _):
+            out = stage_fn(carry, *rest)
+            leaf = jax.tree.leaves(out)[0]
+            carry = carry + 1e-30 * jnp.sum(leaf).astype(carry.dtype)
+            return carry, ()
+
+        final, _ = jax.lax.scan(body, TCO, None, length=k)
+        return final
+
+    return chained
+
+
 def _flops(fn, args):
     try:
         ca = fn.lower(*args).compile().cost_analysis()
@@ -49,6 +76,9 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=64)
     parser.add_argument("--reps", type=int, default=10)
+    parser.add_argument("--chain", type=int, default=20,
+                        help="in-jit repetitions for dispatch-amortized "
+                             "device timing")
     parser.add_argument("--json", default=None)
     args = parser.parse_args(argv)
 
@@ -80,9 +110,9 @@ def main(argv=None):
     mesh_data = gather_mesh_data(mesh_db, label_ids, cfg.n_points_crop)
     F = int(mesh_data["tri_verts"].shape[1])
 
-    # ---- stage closures (each jitted alone) ----
+    # ---- stage closures (each jitted alone; TCO-first for chaining) ----
     @jax.jit
-    def stage_crop(images, K, TCO):
+    def stage_crop(TCO, images, K):
         uv = project_points_robust(mesh_data["crop_points"], K, TCO)
         boxes_rend = boxes_from_uv(uv)
         boxes_crop, images_crop = deepim_crops(
@@ -93,7 +123,7 @@ def main(argv=None):
                                    cfg.render_size)
         return images_crop, K_crop
 
-    images_crop, K_crop = stage_crop(images, K, TCO)
+    images_crop, K_crop = stage_crop(TCO, images, K)
 
     @jax.jit
     def stage_raster(TCO, K_crop):
@@ -120,55 +150,57 @@ def main(argv=None):
     rendered = stage_raster(TCO, K_crop)
 
     @jax.jit
-    def stage_backbone(variables, images_crop, rendered):
+    def stage_backbone(rendered, variables, images_crop):
         x = jnp.concatenate([images_crop, rendered], axis=1)
         x = jnp.moveaxis(x, 1, -1)
         return pp.net.apply(variables, x, train=False)
 
     @jax.jit
-    def stage_full(variables, images, K, TCO):
+    def stage_full(TCO, variables, images, K):
         outs = pp.forward(variables, mesh_data, images, K, TCO,
                           n_iterations=1)
         return outs["TCO_final"]
 
+    # carry-first signatures: the chained measurement threads the first arg
     stages = {
-        "crop(roi_align)": (stage_crop, (images, K, TCO)),
+        "crop(roi_align)": (stage_crop, (TCO, images, K)),
         "raster planes+binning (XLA)": (stage_planes, (TCO, K_crop)),
         "raster full (planes+kernel)": (stage_raster, (TCO, K_crop)),
-        "backbone b3 bf16": (stage_backbone, (variables, images_crop, rendered)),
-        "full iteration": (stage_full, (variables, images, K, TCO)),
+        "backbone b3 bf16": (stage_backbone, (rendered, variables, images_crop)),
+        "full iteration": (stage_full, (TCO, variables, images, K)),
     }
 
     peak_tf = 197.0 if jax.default_backend() == "tpu" else None
+    k = args.chain
     rows = []
     for name, (fn, a) in stages.items():
-        dt = _measure(fn, a, reps=args.reps)
+        dt_call = _measure(fn, a, reps=args.reps)   # includes dispatch floor
+        dt = _measure(_chain(fn, k), a, reps=2) / k  # amortized device time
         fl = _flops(fn, a)
         tf = fl / dt / 1e12 if fl else 0.0
-        rows.append(dict(stage=name, ms=dt * 1e3, gflop=fl / 1e9,
-                         tflops=tf,
+        rows.append(dict(stage=name, ms=dt * 1e3, ms_per_call=dt_call * 1e3,
+                         gflop=fl / 1e9, tflops=tf,
                          mfu_pct=(100 * tf / peak_tf) if peak_tf else None))
 
-    # derived: kernel-only = raster full - planes; roofline estimate for it
+    # derived: kernel-only = raster full - planes
     full = {r["stage"]: r for r in rows}
     kernel_ms = (full["raster full (planes+kernel)"]["ms"]
                  - full["raster planes+binning (XLA)"]["ms"])
     rows.append(dict(stage="raster kernel (derived)", ms=kernel_ms,
-                     gflop=0.0, tflops=0.0, mfu_pct=None))
+                     ms_per_call=None, gflop=0.0, tflops=0.0, mfu_pct=None))
 
-    # VPU roofline model for the strip kernel: ~24 vector ops per
-    # (pixel, triangle-visit) at 4 ALUs x (8,128) lanes @940MHz, plus 22
-    # scalar-extract cycles per triangle-visit (see rasterizer_pallas.py).
     H, W = cfg.render_size
-    th, tw = cfg.pallas_tile
-    # measure true binned work: chunks per tile summed (host recompute)
-    from cosypose_tpu.ops import rasterizer_pallas as rp
     print(f"\nper-stage profile  B={B} F={F} render={H}x{W} "
-          f"backend={jax.default_backend()}")
-    print(f"{'stage':36s} {'ms':>8s} {'GFLOP':>8s} {'TFLOP/s':>8s} {'MFU%':>6s}")
+          f"backend={jax.default_backend()} (ms = device time amortized "
+          f"over a {k}-long in-jit chain; ms_per_call includes the "
+          f"~30-40 ms tunnel dispatch floor)")
+    print(f"{'stage':36s} {'ms':>8s} {'ms/call':>8s} {'GFLOP':>8s} "
+          f"{'TFLOP/s':>8s} {'MFU%':>6s}")
     for r in rows:
         mfu = f"{r['mfu_pct']:6.2f}" if r.get("mfu_pct") else "     -"
-        print(f"{r['stage']:36s} {r['ms']:8.3f} {r['gflop']:8.2f} "
+        pc = (f"{r['ms_per_call']:8.3f}" if r.get("ms_per_call") is not None
+              else "       -")
+        print(f"{r['stage']:36s} {r['ms']:8.3f} {pc} {r['gflop']:8.2f} "
               f"{r['tflops']:8.2f} {mfu}")
 
     if args.json:
