@@ -79,6 +79,50 @@ class SqueezeExcite(nn.Module):
         return x * jax.nn.sigmoid(s)
 
 
+class DepthwiseConv(nn.Module):
+    """Depthwise conv as explicit shift-multiplies (VPU-native lowering).
+
+    Measured ALTERNATIVE lowering, kept for reference: same math and the same
+    parameter tree ("kernel" shaped (kh, kw, 1, C), exactly nn.Conv's grouped
+    kernel) so checkpoints load against either implementation. On v5e at the
+    flagship operating point (B3, 240x320, B=64, bf16) this formulation
+    measured 25.3 ms vs 13.8 ms for XLA's native grouped-conv lowering — the
+    k^2 strided slices do NOT fuse into one elementwise loop and multiply HBM
+    traffic instead. Default stays "conv"; don't flip without re-measuring.
+    """
+
+    features: int
+    kernel: tuple[int, int]
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kh, kw, 1, self.features), jnp.float32,
+        ).astype(self.dtype)
+        x = x.astype(self.dtype)
+        N, H, W, C = x.shape
+        s = self.stride
+        oh, ow = -(-H // s), -(-W // s)  # SAME output sizes
+        ph = max((oh - 1) * s + kh - H, 0)
+        pw = max((ow - 1) * s + kw - W, 0)
+        xp = jnp.pad(x, ((0, 0), (ph // 2, ph - ph // 2),
+                         (pw // 2, pw - pw // 2), (0, 0)))
+        acc = jnp.zeros((N, oh, ow, C), self.dtype)
+        for a in range(kh):
+            for b in range(kw):
+                sl = jax.lax.slice(
+                    xp, (0, a, b, 0),
+                    (N, a + (oh - 1) * s + 1, b + (ow - 1) * s + 1, C),
+                    (1, s, s, 1),
+                )
+                acc = acc + sl * w[a, b, 0]
+        return acc
+
+
 class MBConvBlock(nn.Module):
     in_ch: int
     out_ch: int
@@ -90,6 +134,7 @@ class MBConvBlock(nn.Module):
     dtype: Any = jnp.float32
     bn_momentum: float = 0.99
     bn_eps: float = 1e-3
+    dw_impl: str = "conv"  # "conv" (XLA grouped) | "shift" (see DepthwiseConv)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -106,16 +151,22 @@ class MBConvBlock(nn.Module):
             x = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype, name="expand_conv")(x)
             x = norm("bn0")(x)
             x = nn.swish(x)
-        x = nn.Conv(
-            mid,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding="SAME",
-            feature_group_count=mid,
-            use_bias=False,
-            dtype=self.dtype,
-            name="dw_conv",
-        )(x)
+        if self.dw_impl == "shift":
+            x = DepthwiseConv(
+                mid, (self.kernel, self.kernel), stride=self.stride,
+                dtype=self.dtype, name="dw_conv",
+            )(x)
+        else:
+            x = nn.Conv(
+                mid,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding="SAME",
+                feature_group_count=mid,
+                use_bias=False,
+                dtype=self.dtype,
+                name="dw_conv",
+            )(x)
         x = norm("bn1")(x)
         x = nn.swish(x)
         if self.se_ratio and 0 < self.se_ratio <= 1:
@@ -142,6 +193,7 @@ class EfficientNet(nn.Module):
     in_channels: int = 6
     dtype: Any = jnp.float32
     drop_connect_rate: float = 0.2
+    dw_impl: str = "conv"  # see DepthwiseConv (measured slower; kept as option)
 
     @property
     def n_features(self) -> int:
@@ -186,6 +238,7 @@ class EfficientNet(nn.Module):
                     se_ratio=se,
                     drop_rate=drop,
                     dtype=self.dtype,
+                    dw_impl=self.dw_impl,
                     name=f"block{stage}_{i}",
                 )(x, train=train)
                 block_idx += 1

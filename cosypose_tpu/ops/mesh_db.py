@@ -174,6 +174,7 @@ def build_mesh_db(
     n_sym: int = 64,
     keep_geometry: bool = True,
     max_faces: int | None = 8192,
+    render_max_faces: int | None = None,
 ) -> BatchedMeshes:
     """Load/convert all objects and assemble the padded device arrays.
 
@@ -181,6 +182,14 @@ def build_mesh_db(
     aabb=True → 8 AABB corners per object (RANSAC/BA point sets);
     resample_n_points → uniform surface resampling; otherwise raw vertices.
     keep_geometry additionally retains padded vertices+triangles for the rasterizer.
+
+    render_max_faces decimates the RENDER geometry only (tri_verts/tri_colors)
+    — ADD/loss point sets keep full fidelity. The render-and-compare crops are
+    240x320, where full-resolution meshes spend ~35 px^2 per triangle; the
+    Pallas raster kernel's time is linear in true triangle count, so an LOD
+    matched to the render resolution buys a near-proportional raster speedup
+    for invisible quality cost (the reference renders full meshes because GPU
+    rasterizers are insensitive to triangle count; the TPU kernel is not).
     """
     if aabb:
         assert resample_n_points is None
@@ -230,11 +239,16 @@ def build_mesh_db(
         points_l.append(pts.astype(np.float32))
         syms_l.append(syms)
         if keep_geometry:
-            v32 = verts.astype(np.float32)
-            f = faces.astype(np.int64)
+            rverts, rfaces, rcolors = verts, faces, colors
+            if render_max_faces is not None and faces.shape[0] > render_max_faces:
+                rverts, rfaces, rcolors = decimate_mesh(
+                    verts, faces, colors, render_max_faces
+                )
+            v32 = rverts.astype(np.float32)
+            f = rfaces.astype(np.int64)
             triverts_l.append(v32[f])  # (F, 3, 3) unrolled on host, once
-            if colors is not None:
-                tricols_l.append(colors.astype(np.float32)[f])
+            if rcolors is not None:
+                tricols_l.append(rcolors.astype(np.float32)[f])
             else:
                 tricols_l.append(np.full((f.shape[0], 3, 3), 0.7, np.float32))
         diameter_m = spec.diameter_m

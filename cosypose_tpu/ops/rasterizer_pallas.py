@@ -42,7 +42,7 @@ from .rasterizer import RenderOutput, _triangle_planes
 
 # packed coefficient layout per triangle (lane-padded to 24):
 # 0:3 lam_a, 3:6 lam_b, 6:9 lam_c, 9:12 iz_abc,
-# 12:15 col_a, 15:18 col_b, 18:21 col_c, 21 attr, 22:24 unused
+# 12:15 col_a, 15:18 col_b, 18:21 col_c, 21 attr, 22:24 bbox y0/y1
 _COEF_DIM = 24
 
 
@@ -76,7 +76,10 @@ def _kernel_broadcast(counts_ref, coef_ref, *out_and_scratch,
 
     # Rows of invalid / out-of-tile triangles are ZEROED by the host-side
     # packer, and an all-zero row is inert (izv == 0 never beats iz_scr >= 0
-    # under strict >), so the chunk body runs unpredicated.
+    # under strict >), so the chunk body runs unpredicated. (A per-triangle
+    # @pl.when y-overlap skip keyed on packed bbox lanes was measured 3x
+    # SLOWER than evaluating everything: the branch control-depends on
+    # scalar extracts and serializes the vector pipeline.)
     def body(kc, _):
         rows = coef_ref[0, 0, pl.ds(kc * 8, 8), :]  # (8, _COEF_DIM)
         for j in range(8):
@@ -167,8 +170,7 @@ def rasterize_pallas(
             planes["iz_abc"],
             planes["col_a"], planes["col_b"], planes["col_c"],
             attr_col,
-            jnp.zeros(planes["lam_a"].shape[:2] + (_COEF_DIM - 22,),
-                      planes["lam_a"].dtype),
+            planes["bbox"][..., 1:2], planes["bbox"][..., 3:4],  # y0, y1
         ],
         axis=-1,
     )  # (B, F, 24)
@@ -176,10 +178,7 @@ def rasterize_pallas(
 
     # ---- chunk-granular binning ----
     # Triangles are grouped into the kernels' 8-row consumption chunks; the
-    # per-tile compaction (overlap test + top_k) runs over chunk AABBs. Mesh
-    # triangle ids are spatially coherent (mesh_db emits them in surface
-    # order), so chunk AABBs stay tight and the 8x coarser top_k costs little
-    # extra kernel work.
+    # per-tile compaction (overlap test + top_k) runs over chunk AABBs.
     Fp = ((F + 7) // 8) * 8
     if Fp > F:
         coef = jnp.pad(coef, ((0, 0), (0, Fp - F), (0, 0)))
@@ -188,6 +187,20 @@ def rasterize_pallas(
     bbox = planes["bbox"]
     if Fp > F:
         bbox = jnp.pad(bbox, ((0, 0), (0, Fp - F), (0, 0)))
+
+    # y-sort before chunking: order triangles by projected y-center so the 8
+    # consecutive triangles forming a chunk share a y-band. Mesh surface order
+    # gives chunk AABBs of ~3-6x the triangle height; sorted chunks are
+    # y-thin, which is what full-width strip binning keys on — measured ~35%
+    # fewer kernel triangle-visits on the bench mesh soup. Invalid triangles
+    # sort to the tail, compacting them out of live chunks. The depth resolve
+    # is a strict max over 1/z, so triangle order does not change the image
+    # (up to float-exact z ties).
+    ykey = jnp.where(valid, 0.5 * (bbox[..., 1] + bbox[..., 3]), jnp.inf)
+    order = jnp.argsort(ykey, axis=1)
+    coef = jnp.take_along_axis(coef, order[..., None], axis=1)
+    bbox = jnp.take_along_axis(bbox, order[..., None], axis=1)
+    valid = jnp.take_along_axis(valid, order, axis=1)
     big = jnp.float32(1e9)
     bx0 = jnp.where(valid, bbox[..., 0], big).reshape(B, C, 8).min(-1)
     by0 = jnp.where(valid, bbox[..., 1], big).reshape(B, C, 8).min(-1)

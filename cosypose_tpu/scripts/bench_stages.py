@@ -79,6 +79,9 @@ def main(argv=None):
     parser.add_argument("--chain", type=int, default=20,
                         help="in-jit repetitions for dispatch-amortized "
                              "device timing")
+    parser.add_argument("--render-lod", type=int, default=None,
+                        help="decimate render geometry to at most this many "
+                             "faces per mesh (ADD points keep full fidelity)")
     parser.add_argument("--json", default=None)
     args = parser.parse_args(argv)
 
@@ -105,7 +108,7 @@ def main(argv=None):
                               compute_dtype=jnp.bfloat16)
     pp = PosePredictor(cfg)
     variables = pp.init(jax.random.PRNGKey(0))
-    mesh_db = build_mesh_db(_demo_specs())
+    mesh_db = build_mesh_db(_demo_specs(), render_max_faces=args.render_lod)
     images, K, TCO, label_ids = _make_inputs(B)
     mesh_data = gather_mesh_data(mesh_db, label_ids, cfg.n_points_crop)
     F = int(mesh_data["tri_verts"].shape[1])

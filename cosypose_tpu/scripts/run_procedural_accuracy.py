@@ -74,11 +74,15 @@ def main(argv=None):
     parser.add_argument("--n-frames", type=int, default=150)
     parser.add_argument("--n-iterations", type=int, default=4)
     parser.add_argument("--noise-seed", type=int, default=0)
+    parser.add_argument("--render-lod", type=int, default=None,
+                        help="decimate render geometry to <= this many faces "
+                             "(ADD points keep full fidelity)")
     parser.add_argument("--out", default=None)
     args = parser.parse_args(argv)
 
     cfg = make_cfg(args.config or args.run_id)
-    mesh_db = build_mesh_db(ProceduralObjectDataset().mesh_specs())
+    mesh_db = build_mesh_db(ProceduralObjectDataset().mesh_specs(),
+                            render_max_faces=args.render_lod)
 
     ckpt = latest_checkpoint(EXP_DIR / args.run_id)
     assert ckpt is not None, f"no checkpoint under {EXP_DIR / args.run_id}"
