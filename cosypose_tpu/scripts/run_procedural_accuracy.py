@@ -74,6 +74,11 @@ def main(argv=None):
     parser.add_argument("--n-frames", type=int, default=150)
     parser.add_argument("--n-iterations", type=int, default=4)
     parser.add_argument("--noise-seed", type=int, default=0)
+    parser.add_argument("--init", default=None, choices=("gt+noise", "box"),
+                        help="initial-pose source: noisy GT (refiner protocol)"
+                             " or GT-box z-up auto-depth (the pipeline's "
+                             "detection-seeded coarse init). Default follows "
+                             "the config's input generator.")
     parser.add_argument("--render-lod", type=int, default=None,
                         help="decimate render geometry to <= this many faces "
                              "(ADD points keep full fidelity)")
@@ -98,20 +103,35 @@ def main(argv=None):
         else "synthetic.procedural-4k.val"
     )
     ds = make_scene_dataset(dataset)
-    images, K, gt_infos, TCO_gt, _ = collect_gt(
+    images, K, gt_infos, TCO_gt, gt_boxes = collect_gt(
         ds, args.n_frames, resize=tuple(getattr(cfg, "input_resize", ())) or None
     )
     logger.info(f"{len(gt_infos)} GT objects over {images.shape[0]} frames")
 
-    # the training-time input distribution: noisy GT (the config's gt+noise
-    # generator magnitudes)
-    TCO_init = np.asarray(
-        add_pose_noise(
-            jax.random.PRNGKey(args.noise_seed), jnp.asarray(TCO_gt),
-            euler_deg_std=tuple(cfg.train.noise_euler_deg),
-            trans_std=tuple(cfg.train.noise_trans),
-        )
+    # the training-time input distribution: noisy GT for refiner configs,
+    # GT-box z-up auto-depth for box-seeded (coarse) configs
+    init_mode = args.init or (
+        "box" if cfg.train.input_generator.startswith("fixed") else "gt+noise"
     )
+    if init_mode == "box":
+        from ..ops.pose_ops import TCO_init_from_boxes_zup_autodepth
+
+        label_ids = mesh_db.ids_for(gt_infos["label"].values)
+        points = mesh_db.sample_points(
+            jnp.asarray(label_ids), 2000, deterministic=True
+        )
+        K_per_obj = jnp.asarray(K)[gt_infos["batch_im_id"].values]
+        TCO_init = np.asarray(TCO_init_from_boxes_zup_autodepth(
+            jnp.asarray(gt_boxes), points, K_per_obj
+        ))
+    else:
+        TCO_init = np.asarray(
+            add_pose_noise(
+                jax.random.PRNGKey(args.noise_seed), jnp.asarray(TCO_gt),
+                euler_deg_std=tuple(cfg.train.noise_euler_deg),
+                trans_std=tuple(cfg.train.noise_trans),
+            )
+        )
 
     obj_data = PandasTensorCollection(
         gt_infos.copy(), poses=jnp.asarray(TCO_init)

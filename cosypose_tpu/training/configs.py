@@ -144,8 +144,13 @@ def make_cfg(config_name: str, debug: bool = False) -> RunConfig:
             elif part.startswith("it"):
                 n_iterations = int(part[2:])
         noise_euler = (10.0, 10.0, 10.0) if "-rot" in config_name else (0.0,) * 3
+        # "-coarse" arm: box-seeded init (z-up auto-depth + translation noise,
+        # the pipeline's detection-time init — ref pose_forward_loss.py:32-36
+        # 'fixed' generator) instead of noisy GT, so the trained model slots in
+        # as the coarse stage of detector→coarse→refiner.
+        gen = "fixed+trans_noise" if "-coarse" in config_name else "gt+noise"
         cfg = base(config_name, predictor=mini,
-                   input_generator="gt+noise", n_iterations=n_iterations,
+                   input_generator=gen, n_iterations=n_iterations,
                    batch_size=64, epoch_size=6400, n_epochs=n_epochs,
                    n_epochs_warmup=1, n_points_loss=600, lr=lr,
                    noise_euler_deg=noise_euler,
