@@ -20,7 +20,13 @@ from ..data.datasets_cfg import make_object_dataset, make_scene_dataset
 from ..data.detection_dataset import DetectionDataset
 from ..data.wrappers import PartialSampler
 from ..models.detector import DetectorConfig
-from ..training.checkpoint import save_checkpoint, save_config
+from ..training.checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    restore_into_state,
+    save_checkpoint,
+    save_config,
+)
 from ..training.detector_training import (
     DetectorTrainConfig,
     create_detector_train_state,
@@ -77,6 +83,11 @@ def main():
                         help="init backbone/neck from this run's checkpoint "
                              "(shape-matching leaves only)")
     parser.add_argument("--n-epochs", type=int, default=None)
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the run's latest checkpoint "
+                             "(full state incl. optimizer, as in pose "
+                             "training — ref train_detector.py has the "
+                             "same --resume contract)")
     args = parser.parse_args()
 
     if args.config.startswith("detector-procedural"):
@@ -127,7 +138,10 @@ def main():
         scene_ds = make_scene_dataset(split, ds_root=args.ds_root)
         det_ds = DetectionDataset(scene_ds, label_to_cat, resize=(h, w))
 
-    run_dir = pathlib.Path(EXP_DIR) / args.config
+    # debug smoke runs get their own run dir — writing into the real run's
+    # dir would prune its trained checkpoints (save_checkpoint keeps last 2)
+    run_name = f"{args.config}-debug" if args.debug else args.config
+    run_dir = pathlib.Path(EXP_DIR) / run_name
     run_dir.mkdir(parents=True, exist_ok=True)
     save_config(run_dir, tcfg)
     run_logger = RunLogger(run_dir)
@@ -137,10 +151,18 @@ def main():
     )
     if args.pretrain_run_id:
         state = _load_pretrain_params(state, args.pretrain_run_id)
+    start_epoch = 0
+    if args.resume:
+        ckpt = latest_checkpoint(run_dir)
+        if ckpt is not None:
+            payload = load_checkpoint(ckpt)
+            state = restore_into_state(state, payload)
+            start_epoch = int(payload["epoch"]) + 1
+            logger.info(f"Resumed from {ckpt} at epoch {start_epoch}")
     step_fn = make_detector_train_step(model, tcfg)
 
     rng = jax.random.PRNGKey(1)
-    for epoch in range(tcfg.n_epochs):
+    for epoch in range(start_epoch, tcfg.n_epochs):
         sampler = PartialSampler(det_ds, tcfg.epoch_size, seed=epoch)
         loader = PrefetchLoader(det_ds, sampler, tcfg.batch_size,
                                 DetectionDataset.collate_fn, n_workers=8)

@@ -231,4 +231,7 @@ def make_cfg(config_name: str, debug: bool = False) -> RunConfig:
             n_epochs_warmup=1,
         )
         cfg.n_dataloader_workers = 0
+        # debug smoke runs must never write into (and prune!) the real run's
+        # checkpoint directory
+        cfg.run_id = f"{cfg.run_id}-debug"
     return cfg
