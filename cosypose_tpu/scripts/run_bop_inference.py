@@ -54,12 +54,26 @@ def load_pose_model(run_id, mesh_db, init_method="z-up+auto-depth",
         raw = json.loads(cfg_file.read_text())
         pred = raw.get("train", {}).get("predictor", raw.get("predictor", {}))
         if pred:
-            cfg = PosePredictorConfig(
-                backbone=pred.get("backbone", cfg.backbone),
-                render_size=tuple(pred.get("render_size", cfg.render_size)),
-                pose_dim=pred.get("pose_dim", cfg.pose_dim),
-                n_points_crop=pred.get("n_points_crop", cfg.n_points_crop),
-            )
+            # map EVERY saved predictor field (pooling/input_mode/vxvy_scale/…
+            # all change the parameter tree or the forward semantics — a
+            # partial mapping silently rebuilds a different architecture
+            # than the one the checkpoint trained)
+            import dataclasses as _dc
+
+            import jax.numpy as _jnp
+
+            kw = {}
+            for f in _dc.fields(PosePredictorConfig):
+                if f.name not in pred:
+                    continue
+                v = pred[f.name]
+                if f.name == "compute_dtype":
+                    v = {"float32": _jnp.float32, "bfloat16": _jnp.bfloat16,
+                         "float16": _jnp.float16}.get(str(v), _jnp.float32)
+                elif isinstance(getattr(cfg, f.name), tuple):
+                    v = tuple(v)
+                kw[f.name] = v
+            cfg = PosePredictorConfig(**kw)
     pp = PosePredictor(cfg)
     variables = {"params": payload["params"],
                  "batch_stats": payload["batch_stats"]}
