@@ -37,7 +37,7 @@ class Detector:
         self._fwd = jax.jit(fwd)
 
     def get_detections(self, images, detection_th=None, output_masks=False,
-                       mask_th=0.8, one_instance_per_class=False):
+                       mask_th=0.5, one_instance_per_class=False):
         """images (B, 3, H, W) or (B, H, W, 3), float [0,1] or uint8 [0,255]."""
         images = jnp.asarray(images)
         if images.shape[1] == 3 and images.ndim == 4:

@@ -83,6 +83,9 @@ def main():
                         help="init backbone/neck from this run's checkpoint "
                              "(shape-matching leaves only)")
     parser.add_argument("--n-epochs", type=int, default=None)
+    parser.add_argument("--mask-pos-weight", type=float, default=None,
+                        help="foreground BCE weight for the instance-mask "
+                             "loss (see DetectorTrainConfig.mask_pos_weight)")
     parser.add_argument("--resume", action="store_true",
                         help="resume from the run's latest checkpoint "
                              "(full state incl. optimizer, as in pose "
@@ -140,6 +143,11 @@ def main():
 
     # debug smoke runs get their own run dir — writing into the real run's
     # dir would prune its trained checkpoints (save_checkpoint keeps last 2)
+    if args.mask_pos_weight is not None:
+        import dataclasses
+
+        tcfg = dataclasses.replace(tcfg, mask_pos_weight=args.mask_pos_weight)
+
     run_name = f"{args.config}-debug" if args.debug else args.config
     run_dir = pathlib.Path(EXP_DIR) / run_name
     run_dir.mkdir(parents=True, exist_ok=True)

@@ -38,6 +38,12 @@ class DetectorTrainConfig:
     w_wh: float = 0.1
     w_offset: float = 1.0
     w_mask: float = 1.0
+    # BCE weight on foreground pixels of the per-instance mask loss. Objects
+    # cover ~1% of the head grid, so unweighted BCE is background-dominated
+    # and the trained foreground probabilities hedge around ~0.6 (measured on
+    # detector-procedural: max sigmoid 0.65 on true object pixels, bg -27).
+    # >1 makes positives confident; 1.0 keeps the original behavior.
+    mask_pos_weight: float = 1.0
 
 
 def focal_loss(logits, targets, alpha=2.0, beta=4.0):
@@ -101,6 +107,8 @@ def detector_loss(model: CenterNetDetector, cfg: DetectorTrainConfig, params,
         )
         inst_gt = batch["inst_masks"].astype(jnp.float32)  # (B,N,Hm,Wm)
         bce = optax.sigmoid_binary_cross_entropy(inst_logits, inst_gt)
+        if cfg.mask_pos_weight != 1.0:
+            bce = bce * (1.0 + (cfg.mask_pos_weight - 1.0) * inst_gt)
         mvalid = batch["obj_mask"][..., None, None].astype(jnp.float32)
         l_inst = (bce * mvalid).mean(axis=(2, 3)).sum() / jnp.maximum(
             batch["obj_mask"].sum(), 1.0
