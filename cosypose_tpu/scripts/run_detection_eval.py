@@ -108,6 +108,30 @@ def main():
     for name, summary in metrics.items():
         logger.info(f"{name}: {summary}")
 
+    # pin the measurement as an artifact (same contract as
+    # run_procedural_accuracy): README numbers must be regenerable from JSONs
+    import json
+
+    from ..config import RESULTS_DIR
+
+    out = (RESULTS_DIR
+           / f"detection-{args.detector}-{scene_name.replace('.', '_')}.json")
+    out.parent.mkdir(parents=True, exist_ok=True)
+    payload = dict(
+        detector=args.detector, dataset=scene_name,
+        detection_th=args.detection_th,
+        n_frames=int(len(scene_ds.frame_index)),
+        metrics={
+            name: {k: float(v) for k, v in summary.items()
+                   if isinstance(v, (int, float, np.floating))}
+            for name, summary in metrics.items()
+        },
+    )
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=2)
+    logger.info(f"wrote {out}")
+    return payload
+
 
 if __name__ == "__main__":
     main()
