@@ -49,7 +49,7 @@ def main():
                          pathlib.Path(args.csv).parent / "bop_eval")
         return
 
-    logger.info("bop_toolkit not available — computing internal meters")
+    logger.info("bop_toolkit not available — computing native metrics")
     import jax.numpy as jnp
 
     from ..data.datasets_cfg import make_object_dataset, make_scene_dataset
@@ -62,9 +62,9 @@ def main():
     df, poses = csv_to_candidates(args.csv)
     preds = PandasTensorCollection(df, poses=jnp.asarray(poses))
     scene_ds = make_scene_dataset(f"{args.dataset}.test.bop19",
-                                  ds_root=args.ds_root)
+                                  ds_root=args.ds_root, load_depth=True)
     obj_ds = make_object_dataset(f"{args.dataset}.models", ds_root=args.ds_root)
-    mesh_db = build_mesh_db(obj_ds.mesh_specs(), keep_geometry=False)
+    mesh_db = build_mesh_db(obj_ds.mesh_specs())
     for o in obj_ds.objects:
         mesh_db.infos[o["label"]]["diameter_m"] = o["diameter_m"]
 
@@ -77,6 +77,19 @@ def main():
     metrics, _ = ev.evaluate(preds)
     for name, summary in metrics.items():
         logger.info(f"{name}: {summary}")
+
+    # native BOP19 Average Recall (the challenge's headline metric):
+    # VSD over the dataset's depth images + MSSD/MSPD (bop_metrics.py)
+    from ..evaluation.bop_metrics import compute_bop19_ar
+    from ..rendering.scene_renderer import BatchRenderer
+
+    ar = compute_bop19_ar(preds, scene_ds, mesh_db,
+                          renderer=BatchRenderer(mesh_db))
+    logger.info(
+        f"BOP19 AR: AR={ar['AR']:.4f} vsd={ar['AR_vsd']:.4f} "
+        f"mssd={ar['AR_mssd']:.4f} mspd={ar['AR_mspd']:.4f} "
+        f"(n_gt={ar['n_gt']})"
+    )
 
 
 if __name__ == "__main__":

@@ -140,7 +140,9 @@ def main():
         from ..data.procedural_objects import ProceduralObjectDataset
 
         inference_ds = args.inference_ds or "synthetic.procedural-4k.val"
-        scene_ds = make_scene_dataset(inference_ds, ds_root=args.ds_root)
+        # depth enables the native VSD term of the BOP19 AR summary below
+        scene_ds = make_scene_dataset(inference_ds, ds_root=args.ds_root,
+                                      load_depth=True)
         obj_ds = ProceduralObjectDataset()
         mesh_db = build_mesh_db(obj_ds.mesh_specs())
         labels = {l: i for i, l in enumerate(obj_ds.labels)}
@@ -227,6 +229,28 @@ def main():
                 f"0.1d={metrics[key].get('0.1d', float('nan')):.4f} "
                 f"n_gt={metrics[key].get('n_gt', 0):.0f}"
             )
+        # native BOP19 Average Recall (VSD over recorded depth + MSSD/MSPD)
+        # on the final refined predictions — the challenge's own headline
+        # number, computed without the external toolkit (bop_metrics.py)
+        from ..evaluation.bop_metrics import compute_bop19_ar
+        from ..rendering.scene_renderer import BatchRenderer
+
+        final_key = next(k for k in ("icp", "multiview", "pose")
+                         if k in preds)
+        renderer = BatchRenderer(mesh_db)
+        ar = compute_bop19_ar(preds[final_key], scene_ds, mesh_db,
+                              renderer=renderer)
+        metrics["bop19_ar"] = {
+            k: v for k, v in ar.items()
+            if isinstance(v, (int, float))
+        }
+        metrics["bop19_ar"]["prediction_key"] = final_key
+        logger.info(
+            f"BOP19 AR ({final_key}): AR={ar['AR']:.4f} "
+            f"vsd={ar['AR_vsd']:.4f} mssd={ar['AR_mssd']:.4f} "
+            f"mspd={ar['AR_mspd']:.4f}"
+        )
+
         mpath = out_dir / f"metrics-{inference_ds.replace('.', '_')}.json"
         with open(mpath, "w") as f:
             json.dump(dict(dataset=inference_ds,
