@@ -42,7 +42,7 @@ RENDER_LOD = 512
 PEAK_TFLOPS = {"tpu": 197.0}
 
 
-def build(B, dtype=None):
+def build(B, dtype=None, backbone="efficientnet-b3"):
     import jax
     import jax.numpy as jnp
     from cosypose_tpu.models import PosePredictor, PosePredictorConfig
@@ -51,7 +51,7 @@ def build(B, dtype=None):
     from __graft_entry__ import _demo_specs, _make_inputs
 
     cfg = PosePredictorConfig(
-        backbone="efficientnet-b3",
+        backbone=backbone,
         compute_dtype=dtype or jnp.bfloat16,
     )
     pp = PosePredictor(cfg)
@@ -134,6 +134,25 @@ def main():
             extras["mfu_pct"] = round(100.0 * tflops / peak, 2)
     extras["batch"] = BATCH
     extras["dtype"] = "bfloat16"
+
+    # secondary: the TPU-recommended dense backbone (wide-resnet18 — the
+    # demonstrated held-out-refinement config trains it). B3 stays the
+    # headline for reference parity; this row shows what the framework's
+    # TPU-first configuration does on the same pipeline (bench_stages
+    # measures it at ~3.6x the backbone MFU of B3's depthwise stages).
+    try:
+        fn_w, args_w = build(BATCH, backbone="wide-resnet18")
+        value_w, dt_w = measure(fn_w, args_w, REPS)
+        fl_w = flops_per_call(fn_w, args_w)
+        extras["wrn18_crop_it_per_s"] = round(value_w, 2)
+        if fl_w:
+            tf_w = fl_w / dt_w / 1e12
+            extras["wrn18_tflops"] = round(tf_w, 2)
+            if PEAK_TFLOPS.get(backend):
+                extras["wrn18_mfu_pct"] = round(
+                    100.0 * tf_w / PEAK_TFLOPS[backend], 2)
+    except Exception:
+        pass
     # the CPU baseline runs B=4 (a B=128 CPU run is impractically slow);
     # vs_baseline therefore compares per-crop throughput across batch sizes —
     # labeled here so the ratio is read as the strawman it is (the honest

@@ -83,6 +83,11 @@ def main(argv=None):
                         help="decimate render geometry to at most this many "
                              "faces per mesh (ADD points keep full fidelity)")
     parser.add_argument("--json", default=None)
+    parser.add_argument("--backbone", default="efficientnet-b3",
+                        help="e.g. wide-resnet18 / corrnet — quantifies the "
+                             "README claim that dense wide-channel backbones "
+                             "fill the MXU better than B3's narrow depthwise "
+                             "stages")
     args = parser.parse_args(argv)
 
     import jax
@@ -104,7 +109,7 @@ def main(argv=None):
     from cosypose_tpu.ops.rasterizer_pallas import rasterize_pallas
 
     B = args.batch
-    cfg = PosePredictorConfig(backbone="efficientnet-b3",
+    cfg = PosePredictorConfig(backbone=args.backbone,
                               compute_dtype=jnp.bfloat16)
     pp = PosePredictor(cfg)
     variables = pp.init(jax.random.PRNGKey(0))
@@ -169,7 +174,8 @@ def main(argv=None):
         "crop(roi_align)": (stage_crop, (TCO, images, K)),
         "raster planes+binning (XLA)": (stage_planes, (TCO, K_crop)),
         "raster full (planes+kernel)": (stage_raster, (TCO, K_crop)),
-        "backbone b3 bf16": (stage_backbone, (rendered, variables, images_crop)),
+        f"backbone {args.backbone} bf16": (
+            stage_backbone, (rendered, variables, images_crop)),
         "full iteration": (stage_full, (TCO, variables, images, K)),
     }
 
