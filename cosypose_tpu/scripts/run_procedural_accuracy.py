@@ -83,6 +83,11 @@ def main(argv=None):
                         help="decimate render geometry to <= this many faces "
                              "(ADD points keep full fidelity)")
     parser.add_argument("--out", default=None)
+    parser.add_argument("--save-overlays", default=None, metavar="DIR",
+                        help="write input|init|refined overlay panels for the "
+                             "first --n-overlays pairs (docs/qualitative "
+                             "check, ref visualization/singleview.py)")
+    parser.add_argument("--n-overlays", type=int, default=4)
     args = parser.parse_args(argv)
 
     cfg = make_cfg(args.config or args.run_id)
@@ -158,6 +163,29 @@ def main(argv=None):
 
     # secondary: reference-protocol matched-AUC summary (for parity only)
     refined = np.asarray(preds[f"iteration={args.n_iterations}"].poses)
+
+    if args.save_overlays:
+        import pathlib
+
+        from PIL import Image
+
+        from ..visualization.singleview import render_prediction_overlay
+
+        odir = pathlib.Path(args.save_overlays)
+        odir.mkdir(parents=True, exist_ok=True)
+        for n in range(min(args.n_overlays, len(gt_infos))):
+            im_id = int(gt_infos["batch_im_id"].values[n])
+            rgb = (np.moveaxis(images[im_id], 0, -1) * 255).astype(np.uint8)
+            panels = [rgb]
+            for poses in (TCO_init, refined):
+                panels.append(render_prediction_overlay(
+                    mesh_db, rgb, poses[n], K[im_id],
+                    str(gt_infos["label"].values[n])
+                ))
+            Image.fromarray(np.concatenate(panels, axis=1)).save(
+                odir / f"refinement_{n:02d}.png")
+        logger.info(f"wrote {min(args.n_overlays, len(gt_infos))} overlay "
+                    f"panels (input|init|refined) to {odir}")
     results = {}
     for name, poses in (("init", TCO_init), ("refined", refined)):
         s = evaluate(mesh_db, gt_infos, poses, gt_infos, TCO_gt)
