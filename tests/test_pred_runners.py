@@ -131,3 +131,36 @@ def test_bop_prediction_runner_end_to_end(tmp_path):
     csv = tmp_path / "preds.csv"
     predictions_to_bop_csv(pose_preds, csv)
     assert csv.read_text().startswith("scene_id,im_id,obj_id,score,R,t,time")
+
+
+def test_bop19_ar_over_bop_dataset(tmp_path):
+    """Native BOP19 AR driven by a real BOPDataset: perfect predictions of
+    the visible object score AR 1 (the visib_fract 0.05 object is excluded
+    by the 0.1 validity filter — toolkit protocol); jitter degrades AR."""
+    from cosypose_tpu.evaluation.bop_metrics import compute_bop19_ar
+
+    root = build_bop_fixture(tmp_path)
+    scene_ds = BOPDataset(root, split="test")
+    obj_ds = BOPObjectDataset(root / "models")
+    mesh_db = build_mesh_db(obj_ds.mesh_specs())
+
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 3] = (0, 0, 0.5)  # fixture GT: obj1 at z=0.5m in every view
+    infos = pd.DataFrame(
+        dict(scene_id=[1] * 3, view_id=[0, 1, 2],
+             label=["obj_000001"] * 3, score=[1.0] * 3)
+    )
+    perfect = PandasTensorCollection(
+        infos.copy(), poses=jnp.asarray(np.stack([T] * 3)))
+    s = compute_bop19_ar(perfect, scene_ds, mesh_db,
+                         error_types=("mssd", "mspd"))
+    assert s["n_gt"] == 3  # obj2 (visib 0.05) excluded in all 3 views
+    assert s["AR"] == 1.0
+
+    Tj = T.copy()
+    Tj[:3, 3] += (0.04, 0, 0)  # ~40% of the 10.4 cm diameter
+    jitter = PandasTensorCollection(
+        infos.copy(), poses=jnp.asarray(np.stack([Tj] * 3)))
+    s2 = compute_bop19_ar(jitter, scene_ds, mesh_db,
+                          error_types=("mssd", "mspd"))
+    assert 0.0 < s2["AR"] < 1.0
