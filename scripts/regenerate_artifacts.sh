@@ -27,22 +27,36 @@ ACC="python -m cosypose_tpu.scripts.run_procedural_accuracy"
 # headline: held-out refinement (README accuracy table, pinned regression)
 [ -d local_data/experiments/procedural-diag-lr0.003-solo/checkpoint ] || \
     $TRAIN --config procedural-diag-lr0.003-solo
+# coarse arm (box-seeded init) for the composed det->coarse->refiner pipeline
+[ -d local_data/experiments/procedural-diag-lr0.003-solo-coarse/checkpoint ] || \
+    $TRAIN --config procedural-diag-lr0.003-solo-coarse
 # eval-pipeline checkpoint (matched-AUC + per-pair protocol smoke)
 [ -d local_data/experiments/procedural-refiner-mini/checkpoint ] || \
     $TRAIN --config procedural-refiner-mini
-# detector (CenterNet+YOLACT) on the cluttered tier
-[ -d local_data/experiments/detector-procedural/checkpoint ] || \
-    $DET --config detector-procedural
+# detector (CenterNet+YOLACT) over all three recorded tiers
+[ -d local_data/experiments/detector-procedural-all/checkpoint ] || \
+    $DET --config detector-procedural-all --n-epochs 60
 
 # ---- 3. measured results (results/ holds the tracked copies) ---------------
 $ACC --run-id procedural-diag-lr0.003-solo --n-frames 150 --n-iterations 4
+$ACC --run-id procedural-diag-lr0.003-solo-coarse --n-frames 150 --n-iterations 2
 $ACC --run-id procedural-refiner-mini --n-frames 150 --n-iterations 2
 python -m cosypose_tpu.scripts.run_detection_eval \
     --dataset synthetic.procedural-4k.val \
-    --detector detector-procedural --object-ds procedural --masks
-# full pipeline: trained detector -> box-seeded init -> trained refiner -> AR
+    --detector detector-procedural-all --object-ds procedural --masks
+python -m cosypose_tpu.scripts.run_detection_eval \
+    --dataset synthetic.procedural-solo.val \
+    --detector detector-procedural-all --object-ds procedural --masks
+# full pipeline (det -> coarse -> refiner, BOP19 AR incl. native VSD):
 python -m cosypose_tpu.scripts.run_bop_inference --dataset procedural \
-    --detector detector-procedural --refiner procedural-diag-lr0.003-solo
+    --inference-ds synthetic.procedural-solo.val \
+    --detector detector-procedural-all \
+    --coarse procedural-diag-lr0.003-solo-coarse \
+    --refiner procedural-diag-lr0.003-solo
+# harder 4k piles tier: box-seeded init + mini refiner
+python -m cosypose_tpu.scripts.run_bop_inference --dataset procedural \
+    --n-frames 150 --detector detector-procedural-all \
+    --refiner procedural-refiner-mini
 
 cp -v local_data/results/*.json results/ 2>/dev/null || true
 echo "regeneration complete; tracked copies in results/"
