@@ -80,6 +80,18 @@ class Detector:
                                         jnp.asarray(bk[:, 1])]
                 ml = jax.image.resize(ml, (len(sel), H, W), method="bilinear")
                 masks = np.asarray(jax.nn.sigmoid(ml)) > mask_th
+                # YOLACT decode: crop each mask to its detection box — the
+                # prototype combination is only trained to be precise inside
+                # the instance region; stray activations elsewhere in the
+                # frame would sink mask IoU
+                bx = np.asarray(outputs.bboxes)
+                yy = np.arange(H)[None, :, None]
+                xx = np.arange(W)[None, None, :]
+                inside = ((xx >= bx[:, None, None, 0])
+                          & (xx <= bx[:, None, None, 2])
+                          & (yy >= bx[:, None, None, 1])
+                          & (yy <= bx[:, None, None, 3]))
+                masks = masks & inside
                 outputs.register_tensor("masks", jnp.asarray(masks))
         else:
             outputs = PandasTensorCollection(
