@@ -279,7 +279,8 @@ class DetectionRunner:
         # tunnel's per-dispatch latency 16x over (and a recompile per shape)
         self.batch_size = batch_size
 
-    def get_predictions(self, detector, detection_th=0.0, output_masks=False):
+    def get_predictions(self, detector, detection_th=0.0, output_masks=False,
+                        mask_th=0.5):
         preds = []
         n = len(self.ds)
         bsz = self.batch_size
@@ -296,7 +297,7 @@ class DetectionRunner:
                 )
             dets = detector.get_detections(
                 jnp.asarray(ims), detection_th=detection_th,
-                output_masks=output_masks,
+                output_masks=output_masks, mask_th=mask_th,
             )
             keep = dets.infos["batch_im_id"].values < n_valid
             dets = dets[np.where(keep)[0]]

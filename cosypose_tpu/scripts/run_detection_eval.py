@@ -74,6 +74,10 @@ def main():
     parser.add_argument("--masks", action="store_true",
                         help="also report mask AP/mAP (COCO-segm-style "
                              "matching over the YOLACT mask head output)")
+    parser.add_argument("--mask-th", type=float, default=0.5,
+                        help="mask binarization threshold (the BCE-trained "
+                             "probabilities hedge low on background-dominated "
+                             "grids; sweep when calibrating)")
     parser.add_argument("--n-frames", type=int, default=None)
     parser.add_argument("--ds-root", default=None)
     parser.add_argument("--debug", action="store_true")
@@ -96,7 +100,8 @@ def main():
     detector = load_detector(args.detector, labels)
     runner = DetectionRunner(scene_ds)
     preds = runner.get_predictions(detector, detection_th=args.detection_th,
-                                   output_masks=args.masks)
+                                   output_masks=args.masks,
+                                   mask_th=args.mask_th)
 
     meters = {"bbox@0.5": DetectionMeter(iou_threshold=0.5)}
     if args.masks:
