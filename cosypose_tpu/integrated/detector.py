@@ -22,7 +22,10 @@ from ..utils.tensor_collection import PandasTensorCollection
 
 class Detector:
     def __init__(self, model: CenterNetDetector, variables: dict,
-                 label_to_category_id: dict):
+                 label_to_category_id: dict, nms_iou: float | None = 0.5):
+        """nms_iou: same-class greedy box NMS on the decoded top-k (the
+        capability match for torchvision MaskRCNN's batched_nms in the
+        reference detector); None/0 disables it."""
         self.model = model
         self.variables = variables
         self.label_to_category_id = label_to_category_id
@@ -32,7 +35,8 @@ class Detector:
 
         def fwd(variables, images_nhwc):
             outputs = model.apply(variables, images_nhwc, train=False)
-            return decode_detections(outputs, cfg.max_detections)
+            return decode_detections(outputs, cfg.max_detections,
+                                     nms_iou=nms_iou)
 
         self._fwd = jax.jit(fwd)
 

@@ -107,12 +107,53 @@ class CenterNetDetector(nn.Module):
         return {k: v[:, :Hm, :Wm] for k, v in outputs.items()}
 
 
-def decode_detections(outputs: dict, max_detections: int, stride: int = 4):
-    """Heatmap → fixed-size top-k detections (jit-friendly; replaces NMS).
+def _nms_keep(boxes, cls, valid, iou_th):
+    """Greedy same-class NMS over score-DESCENDING boxes (fixed shape).
+
+    boxes (K, 4) xyxy sorted by score desc (lax.top_k order), cls (K,) int,
+    valid (K,) bool. Returns a bool keep mask. The capability match for the
+    reference detector's per-class box NMS (torchvision MaskRCNN applies
+    batched_nms in its ROI heads; ref: cosypose/models/mask_rcnn.py:6-19) —
+    the 3x3 heatmap peak suppression alone leaves duplicate peaks on objects
+    larger than 12 input pixels, and duplicates rank as false positives in
+    AP. K is small (<=64) so the O(K^2) IoU matrix + K-step scan is cheap
+    and shape-static.
+    """
+    K = boxes.shape[0]
+    x1, y1, x2, y2 = (boxes[:, i] for i in range(4))
+    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+    inter = (
+        jnp.maximum(
+            jnp.minimum(x2[:, None], x2[None, :])
+            - jnp.maximum(x1[:, None], x1[None, :]), 0.0)
+        * jnp.maximum(
+            jnp.minimum(y2[:, None], y2[None, :])
+            - jnp.maximum(y1[:, None], y1[None, :]), 0.0)
+    )
+    iou = inter / jnp.maximum(area[:, None] + area[None, :] - inter, 1e-9)
+    suppresses = (iou > iou_th) & (cls[:, None] == cls[None, :])
+    idx = jnp.arange(K)
+
+    def body(keep, i):
+        higher_kept = keep & suppresses[:, i] & (idx < i)
+        keep = keep.at[i].set(keep[i] & ~jnp.any(higher_kept))
+        return keep, None
+
+    keep, _ = jax.lax.scan(body, valid, idx)
+    return keep
+
+
+def decode_detections(outputs: dict, max_detections: int, stride: int = 4,
+                      nms_iou: float | None = 0.5):
+    """Heatmap → fixed-size top-k detections (jit-friendly).
 
     Returns dict of (B, max_detections) arrays: scores, class_ids, and
     boxes (B, max_detections, 4) as (x1, y1, x2, y2) in input pixels, plus
     mask logits (B, max_detections, Hm, Wm) from the prototype head.
+
+    nms_iou: greedy same-class box NMS threshold applied on the decoded
+    top-k (suppressed detections get score 0); None/0 disables it and
+    falls back to pure heatmap peak suppression.
     """
     heat = jax.nn.sigmoid(outputs["heatmap"])  # (B, H, W, C)
     B, H, W, C = heat.shape
@@ -144,6 +185,12 @@ def decode_detections(outputs: dict, max_detections: int, stride: int = 4):
     coeffs = gather_pix(outputs["mask_coeffs"])  # (B, K, P)
     protos = outputs["protos"]                   # (B, H, W, P)
     mask_logits = jnp.einsum("bkp,bhwp->bkhw", coeffs, protos)
+
+    if nms_iou:
+        keep = jax.vmap(_nms_keep, in_axes=(0, 0, 0, None))(
+            boxes, cls, scores > 0.0, nms_iou
+        )
+        scores = jnp.where(keep, scores, 0.0)
 
     return dict(scores=scores, class_ids=cls, boxes=boxes,
                 mask_logits=mask_logits)

@@ -79,6 +79,9 @@ def main():
                              "probabilities hedge low on background-dominated "
                              "grids; sweep when calibrating)")
     parser.add_argument("--n-frames", type=int, default=None)
+    parser.add_argument("--nms-iou", type=float, default=0.5,
+                        help="same-class greedy box NMS on the decoded "
+                             "top-k (0 disables)")
     parser.add_argument("--ds-root", default=None)
     parser.add_argument("--debug", action="store_true")
     args = parser.parse_args()
@@ -97,7 +100,7 @@ def main():
     else:
         labels = {l: i for i, l in enumerate(obj_ds.labels)}
 
-    detector = load_detector(args.detector, labels)
+    detector = load_detector(args.detector, labels, nms_iou=args.nms_iou)
     runner = DetectionRunner(scene_ds)
     preds = runner.get_predictions(detector, detection_th=args.detection_th,
                                    output_masks=args.masks,
@@ -124,7 +127,7 @@ def main():
     out.parent.mkdir(parents=True, exist_ok=True)
     payload = dict(
         detector=args.detector, dataset=scene_name,
-        detection_th=args.detection_th,
+        detection_th=args.detection_th, nms_iou=args.nms_iou,
         n_frames=int(len(scene_ds.frame_index)),
         metrics={
             name: {k: float(v) for k, v in summary.items()

@@ -223,3 +223,62 @@ def test_detection_meter_mask_matching():
     assert summary["recall"] == 0.5
     assert summary["matched_iou_mean"] > 0.7
     assert list(dfs["preds"]["matched"]) == [True, False]
+
+
+def test_detector_nms_keep_greedy_chain():
+    """Greedy same-class NMS: duplicate suppressed, chain revives C, other
+    classes untouched (capability match for torchvision batched_nms)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cosypose_tpu.models.detector import _nms_keep
+
+    # score-descending order. A=[0,0,10,10]; B overlaps A (IoU>0.5);
+    # C overlaps B but not A -> greedy keeps A, drops B, keeps C.
+    # D duplicates A but is another class -> kept.
+    boxes = jnp.asarray(
+        [
+            [0.0, 0.0, 10.0, 10.0],   # A
+            [2.0, 0.0, 12.0, 10.0],   # B: IoU(A,B)=8/12>0.5
+            [7.5, 0.0, 17.5, 10.0],   # C: IoU(B,C)=4.5/15.5>0.2, IoU(A,C)=2.5/17.5<0.2
+            [0.0, 0.0, 10.0, 10.0],   # D: same box as A, different class
+            [50.0, 50.0, 60.0, 60.0],  # E: far away
+        ]
+    )
+    cls = jnp.asarray([0, 0, 0, 1, 0])
+    valid = jnp.ones(5, bool)
+    keep = np.asarray(_nms_keep(boxes, cls, valid, 0.2))
+    assert keep.tolist() == [True, False, True, True, True]
+    # invalid entries stay dropped and don't suppress anyone
+    valid2 = valid.at[0].set(False)
+    keep2 = np.asarray(_nms_keep(boxes, cls, valid2, 0.2))
+    assert keep2[0] == False and keep2[1] == True  # noqa: E712
+
+
+def test_decode_detections_nms_zeroes_duplicates():
+    """decode_detections(nms_iou=...) keeps fixed output shapes and zeroes
+    duplicate-peak scores of the same class."""
+    import jax.numpy as jnp
+
+    from cosypose_tpu.models.detector import decode_detections
+
+    B, H, W, C = 1, 16, 16, 2
+    heat = jnp.full((B, H, W, C), -10.0)
+    # two peaks of class 0, 4 pixels apart (outside the 3x3 pool window),
+    # same 40x40-input-pixel box -> duplicates under any IoU threshold
+    heat = heat.at[0, 8, 4, 0].set(4.0)
+    heat = heat.at[0, 8, 8, 0].set(3.0)
+    wh = jnp.zeros((B, H, W, 2)).at[..., 0].set(10.0).at[..., 1].set(10.0)
+    # offsets shift both centers to the same point -> IoU 1
+    off = jnp.zeros((B, H, W, 2)).at[0, 8, 4, 0].set(2.0).at[0, 8, 8, 0].set(-2.0)
+    outputs = dict(
+        heatmap=heat, wh=wh, offset=off,
+        mask_coeffs=jnp.zeros((B, H, W, 4)),
+        protos=jnp.zeros((B, H, W, 4)),
+    )
+    dec = decode_detections(outputs, max_detections=8, nms_iou=0.5)
+    scores = np.asarray(dec["scores"][0])
+    assert dec["scores"].shape == (1, 8)
+    assert (scores > 0.5).sum() == 1  # only the stronger peak survives
+    dec_off = decode_detections(outputs, max_detections=8, nms_iou=None)
+    assert (np.asarray(dec_off["scores"][0]) > 0.5).sum() == 2
