@@ -41,6 +41,8 @@ class ConcatSceneDataset:
     rebuild's recorded tiers are combined the same way)."""
 
     def __init__(self, datasets):
+        import pandas as pd
+
         self.datasets = list(datasets)
         self._offsets = []
         total = 0
@@ -48,17 +50,14 @@ class ConcatSceneDataset:
             self._offsets.append(total)
             total += len(ds)
         self._len = total
+        # built once: children are fixed at construction, and callers touch
+        # frame_index repeatedly (samplers, length checks)
+        self.frame_index = pd.concat(
+            [ds.frame_index for ds in self.datasets], ignore_index=True
+        )
 
     def __len__(self):
         return self._len
-
-    @property
-    def frame_index(self):
-        import pandas as pd
-
-        return pd.concat(
-            [ds.frame_index for ds in self.datasets], ignore_index=True
-        )
 
     def __getitem__(self, idx):
         for ds, off in zip(reversed(self.datasets), reversed(self._offsets)):

@@ -54,13 +54,13 @@ def mssd(T_est, T_gt, pts, valid, syms, sym_valid):
     pts (P,3) model points with validity mask valid (P,); syms (S,4,4) with
     validity sym_valid (S,). Returns meters."""
     pts = np.asarray(pts, np.float64)[np.asarray(valid, bool)]
+    est_pts = pts @ T_est[:3, :3].T + T_est[:3, 3]
     out = np.inf
     for S, ok in zip(np.asarray(syms, np.float64), np.asarray(sym_valid)):
         if not ok:
             continue
         gt_pts = pts @ (T_gt[:3, :3] @ S[:3, :3]).T + (
             T_gt[:3, :3] @ S[:3, 3] + T_gt[:3, 3])
-        est_pts = pts @ T_est[:3, :3].T + T_est[:3, 3]
         out = min(out, float(np.linalg.norm(est_pts - gt_pts, axis=-1).max()))
     return out
 
@@ -308,12 +308,21 @@ def _vsd_matrix(renderer, label_id, ests, gts, K, d_scene, diam):
     if len(poses) == 0:
         return np.ones((0, 0, len(VSD_TAUS_REL)))
     import jax.numpy as jnp
+    n = len(poses)
+    # pad the pose batch to a power-of-two bucket: per-(image,label) counts
+    # vary 1..n and every distinct count would otherwise trigger a fresh XLA
+    # compile (~minutes through the tunneled backend)
+    bucket = 1 << (n - 1).bit_length()
+    if bucket > n:
+        pad = np.tile(np.eye(4, dtype=np.float32)[None], (bucket - n, 1, 1))
+        pad[:, 2, 3] = -1.0  # behind the camera: renders empty
+        poses = np.concatenate([poses, pad])
     lids = jnp.full((len(poses),), label_id, jnp.int32)
     out = renderer.render(lids, jnp.asarray(poses),
                           jnp.tile(jnp.asarray(K, jnp.float32)[None],
                                    (len(poses), 1, 1)),
                           resolution=(h, w), render_depth=True)
-    depths = np.asarray(out.depth)
+    depths = np.asarray(out.depth)[:n]
     d_ests, d_gts = depths[:len(ests)], depths[len(ests):]
     M = np.empty((len(ests), len(gts), len(VSD_TAUS_REL)))
     for a in range(len(ests)):

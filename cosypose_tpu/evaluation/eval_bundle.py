@@ -28,9 +28,11 @@ from ..utils.logging import get_logger
 logger = get_logger(__name__)
 
 
-def collect_gt(ds, n_frames: int, resize=None):
+def collect_gt(ds, n_frames: int, resize=None, with_images: bool = True):
     """First n_frames of a scene dataset → images, K, per-object GT rows,
-    GT poses and GT boxes. resize=(h, w) downsamples frames and rescales K."""
+    GT poses and GT boxes. resize=(h, w) downsamples frames and rescales K.
+    with_images=False returns images=None (GT-only callers on large sets
+    would otherwise stack every frame as float32 — ~1 GB/1k VGA frames)."""
     from PIL import Image
 
     images, Ks, rows, TCO, boxes = [], [], [], [], []
@@ -50,7 +52,8 @@ def collect_gt(ds, n_frames: int, resize=None):
             K_i[0] *= sx
             K_i[1] *= sy
         TCW = np.linalg.inv(np.asarray(cam["TWC"], np.float64))
-        images.append(np.moveaxis(rgb, -1, 0).astype(np.float32) / 255.0)
+        if with_images:
+            images.append(np.moveaxis(rgb, -1, 0).astype(np.float32) / 255.0)
         Ks.append(K_i)
         for obj in obs["objects"]:
             rows.append(
@@ -68,7 +71,7 @@ def collect_gt(ds, n_frames: int, resize=None):
             bb = np.asarray(obj.get("bbox", (0, 0, 1, 1)), np.float32)
             boxes.append(bb * np.array([sx, sy, sx, sy], np.float32))
     infos = pd.DataFrame(rows)
-    return (np.stack(images), np.stack(Ks), infos,
+    return (np.stack(images) if with_images else None, np.stack(Ks), infos,
             np.stack(TCO).astype(np.float32),
             np.stack(boxes).astype(np.float32))
 

@@ -143,12 +143,15 @@ class BopPredictionRunner:
         self.n_refiner = n_refiner_iterations
         self.det_batch_size = det_batch_size
 
-    def _detect_window(self, detector, frames, detection_th, output_masks):
+    def _detect_window(self, detector, frames, detection_th, output_masks,
+                       already_warm):
         """Fixed-batch detection over a flat frame list.
 
         frames: list of (group_idx, local_idx, rgb). Returns (per-frame
         detections as a list aligned with frames, per-frame detector seconds,
-        first_batch flag list)."""
+        warm-up flag list — true only for the compile batch, i.e. the first
+        chunk of the FIRST window; already_warm suppresses it for later
+        windows so their times stay measured)."""
         bsz = self.det_batch_size
         dets_per_frame = [None] * len(frames)
         det_time = np.zeros(len(frames))
@@ -173,7 +176,7 @@ class BopPredictionRunner:
                 rows = np.where(dets.infos["batch_im_id"].values == j)[0]
                 dets_per_frame[start + j] = dets[rows]
                 det_time[start + j] = dt / n_valid
-                first_flags[start + j] = start == 0
+                first_flags[start + j] = start == 0 and not already_warm
         return dets_per_frame, det_time, first_flags
 
     def get_predictions(self, detector, pose_predictor, mv_predictor=None,
@@ -182,6 +185,7 @@ class BopPredictionRunner:
         predictions = defaultdict(list)
         output_masks = icp_refiner is not None
         warm_pose = False
+        warm_det = False
 
         n_groups = len(self.ds)
         for w0 in range(0, n_groups, window_groups):
@@ -194,8 +198,9 @@ class BopPredictionRunner:
                 for g in gids for i, (rgb, _, _) in enumerate(groups[g])
             ]
             dets_pf, det_time, det_first = self._detect_window(
-                detector, frames, detection_th, output_masks
+                detector, frames, detection_th, output_masks, warm_det
             )
+            warm_det = True
             by_group = defaultdict(list)
             for fi, (g, i, _) in enumerate(frames):
                 by_group[g].append(fi)

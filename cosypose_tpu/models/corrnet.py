@@ -67,8 +67,9 @@ class CorrNet(nn.Module):
     """Siamese stem → local correlation → dense conv trunk.
 
     Input is the PoseNet comparison stack (B, H, W, 6|9): channels 0:3 are
-    the observed crop, 3:6 the render (the optional diff channels are
-    appended to the trunk input). n_features = 512.
+    the observed crop, 3:6 the render; optional diff channels 6:9 are
+    encoded by the same shared stem and appended to the trunk input.
+    n_features = 512.
     """
 
     corr_radius: int = 6
@@ -86,7 +87,10 @@ class CorrNet(nn.Module):
         corr = local_correlation(f_obs, f_rend, self.corr_radius)
         corr = corr.astype(self.dtype)
 
-        trunk_in = jnp.concatenate([corr, f_obs, f_rend], axis=-1)
+        trunk_feats = [corr, f_obs, f_rend]
+        if x.shape[-1] > 6:
+            trunk_feats.append(stem(x[..., 6:9], train=train))
+        trunk_in = jnp.concatenate(trunk_feats, axis=-1)
         norm = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name=name,

@@ -207,7 +207,7 @@ def main():
         from ..utils.tensor_collection import PandasTensorCollection
 
         _, _, gt_infos, TCO_gt, _ = collect_gt(
-            scene_ds, len(scene_ds.frame_index)
+            scene_ds, len(scene_ds.frame_index), with_images=False
         )
         gt_tc = PandasTensorCollection(gt_infos.copy(),
                                        poses=jnp.asarray(TCO_gt))
@@ -235,21 +235,27 @@ def main():
         from ..evaluation.bop_metrics import compute_bop19_ar
         from ..rendering.scene_renderer import BatchRenderer
 
-        final_key = next(k for k in ("icp", "multiview", "pose")
-                         if k in preds)
-        renderer = BatchRenderer(mesh_db)
-        ar = compute_bop19_ar(preds[final_key], scene_ds, mesh_db,
-                              renderer=renderer)
-        metrics["bop19_ar"] = {
-            k: v for k, v in ar.items()
-            if isinstance(v, (int, float))
-        }
-        metrics["bop19_ar"]["prediction_key"] = final_key
-        logger.info(
-            f"BOP19 AR ({final_key}): AR={ar['AR']:.4f} "
-            f"vsd={ar['AR_vsd']:.4f} mssd={ar['AR_mssd']:.4f} "
-            f"mspd={ar['AR_mspd']:.4f}"
-        )
+        final_key = next((k for k in ("icp", "multiview", "pose")
+                          if k in preds), None)
+        if final_key is None:
+            # zero predictions above threshold (wrong checkpoint, hard
+            # frames, too-high --detection-th): still write the metrics
+            # JSON instead of crashing after the whole inference run
+            logger.warning("no predictions produced; skipping BOP19 AR")
+        else:
+            renderer = BatchRenderer(mesh_db)
+            ar = compute_bop19_ar(preds[final_key], scene_ds, mesh_db,
+                                  renderer=renderer)
+            metrics["bop19_ar"] = {
+                k: v for k, v in ar.items()
+                if isinstance(v, (int, float))
+            }
+            metrics["bop19_ar"]["prediction_key"] = final_key
+            logger.info(
+                f"BOP19 AR ({final_key}): AR={ar['AR']:.4f} "
+                f"vsd={ar['AR_vsd']:.4f} mssd={ar['AR_mssd']:.4f} "
+                f"mspd={ar['AR_mspd']:.4f}"
+            )
 
         mpath = out_dir / f"metrics-{inference_ds.replace('.', '_')}.json"
         with open(mpath, "w") as f:

@@ -49,7 +49,16 @@ class _DetectionGTEvaluation(DetectionEvaluation):
                 )
                 boxes.append(o["bbox"])
                 if self.with_masks:
-                    masks.append(segm == int(o.get("id_in_segm", -1)))
+                    # fail loudly at the source: segm=None or a missing
+                    # id_in_segm would otherwise produce silently-empty GT
+                    # masks that can never match, deflating mask AP
+                    assert segm is not None, (
+                        "mask eval needs segmentation maps; this dataset's "
+                        "loader returned segm=None")
+                    assert "id_in_segm" in o, (
+                        f"object {o['label']} has no id_in_segm; cannot "
+                        "build its GT mask")
+                    masks.append(segm == int(o["id_in_segm"]))
             if rows:
                 tc = PandasTensorCollection(
                     pd.DataFrame(rows),
@@ -112,7 +121,7 @@ def main():
                                             match_by="mask")
     evaluator = _DetectionGTEvaluation(scene_ds, meters,
                                        with_masks=args.masks)
-    metrics, _ = evaluator.evaluate(preds["detections"])
+    metrics, dfs = evaluator.evaluate(preds["detections"])
     for name, summary in metrics.items():
         logger.info(f"{name}: {summary}")
 
@@ -133,6 +142,13 @@ def main():
             name: {k: float(v) for k, v in summary.items()
                    if isinstance(v, (int, float, np.floating))}
             for name, summary in metrics.items()
+        },
+        # per-class AP: where the mAP mass sits (class confusion shows up as
+        # a bimodal spread here, not in the pooled AP)
+        ap_per_label={
+            name: {l: float(v)
+                   for l, v in d.get("ap_per_label", {}).items()}
+            for name, d in dfs.items()
         },
     )
     with open(out, "w") as f:

@@ -180,6 +180,14 @@ class PandasTensorCollection(TensorCollection):
         )
         tmp = gather_dir / f"{process_id}.pkl.tmp"
         final = gather_dir / f"{process_id}.pkl"
+        if final.exists():
+            # a stale shard from a previous run into the same dir would
+            # silently merge into this gather — refuse instead (same guard
+            # as meters._gather_frame_lists; use a fresh per-run dir)
+            raise FileExistsError(
+                f"{final} already exists: gather_dir was already used by a "
+                f"previous gather; point each run at a fresh directory"
+            )
         tmp.write_bytes(pickle.dumps(payload))
         tmp.rename(final)  # atomic publish
 

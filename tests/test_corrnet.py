@@ -60,3 +60,17 @@ def test_posenet_with_corrnet_backbone():
     np.testing.assert_allclose(
         np.asarray(out[0]), [1, 0, 0, 0, 1, 0, 0, 0, 1], atol=0.3
     )
+
+
+def test_corrnet_uses_diff_channels():
+    """9-channel input: the diff channels (6:9) must influence the output
+    (they are stem-encoded and appended to the trunk input — a regression
+    for the round-3 bug where they were silently dropped)."""
+    net = CorrNet(corr_radius=2, stem_features=16, n_features=64)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 9)).astype(np.float32))
+    variables = net.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    y0 = net.apply(variables, x, train=False)
+    x2 = x.at[..., 6:9].add(1.0)
+    y1 = net.apply(variables, x2, train=False)
+    assert float(jnp.abs(y1 - y0).max()) > 1e-6
