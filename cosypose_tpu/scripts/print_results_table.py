@@ -63,7 +63,15 @@ def per_pair_table(results: dict) -> str:
 
 
 def detection_table(results: dict) -> str:
-    """One summary line for a run_detection_eval JSON."""
+    """Per-meter summary lines for a run_detection_eval JSON."""
+    if "metrics" in results:  # run_detection_eval payload
+        lines = []
+        for meter, s in results["metrics"].items():
+            keys = ("recall", "AP", "mAP", "n_gt", "n_matched")
+            parts = [f"{k} {s[k]:.3f}" if isinstance(s.get(k), float)
+                     else f"{k} {s[k]}" for k in keys if k in s]
+            lines.append(f"{meter}: " + ", ".join(parts))
+        return "\n".join(lines)
     s = results.get("summary", results)
     parts = []
     for key in ("recall", "mAP", "AP", "mask_mIoU", "mask_mAP"):
@@ -84,11 +92,10 @@ def main(argv=None):
     for path in args.json_path:
         with open(path) as f:
             results = json.load(f)
-        header = results.get("run_id", path)
+        header = results.get("run_id", results.get("detector", path))
         ds = results.get("dataset", "")
         print(f"### {header}  ({ds})\n")
-        if args.detection or ("per_pair" not in results
-                              and "summary" in results):
+        if args.detection or "per_pair" not in results:
             print(detection_table(results))
         else:
             print(per_pair_table(results))
