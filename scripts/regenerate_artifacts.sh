@@ -59,4 +59,10 @@ python -m cosypose_tpu.scripts.run_bop_inference --dataset procedural \
     --refiner procedural-refiner-mini
 
 cp -v local_data/results/*.json results/ 2>/dev/null || true
+# run_bop_inference writes per-dataset AR summaries into bop-<ds>/ subdirs
+for d in local_data/results/bop-*/; do
+    [ -d "$d" ] || continue
+    mkdir -p "results/$(basename "$d")"
+    cp -v "$d"metrics-*.json "results/$(basename "$d")/" 2>/dev/null || true
+done
 echo "regeneration complete; tracked copies in results/"
