@@ -70,7 +70,7 @@ class _DetectionGTEvaluation(DetectionEvaluation):
         return concatenate(gts)
 
 
-def main():
+def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--dataset", required=True,
                         help="BOP name (evaluates <ds>.test) or a full scene "
@@ -93,7 +93,7 @@ def main():
                              "top-k (0 disables)")
     parser.add_argument("--ds-root", default=None)
     parser.add_argument("--debug", action="store_true")
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
 
     scene_name = (args.dataset if "." in args.dataset
                   else f"{args.dataset}.test")
