@@ -213,7 +213,12 @@ def train_pose(cfg, scene_datasets=None, mesh_db=None, resume: bool = False,
         if epoch % cfg.save_epoch_interval == 0:
             save_checkpoint(run_dir, state, epoch)
 
-        if eval_callback is not None and epoch % cfg.test_epoch_interval == 0:
+        # also fire on the final epoch so the logged curve ends at the
+        # shipped checkpoint (a 20-epoch run with interval 30 would
+        # otherwise only record the untrained epoch-0 point)
+        if eval_callback is not None and (
+                epoch % cfg.test_epoch_interval == 0
+                or epoch == tcfg.n_epochs - 1):
             test_metrics = eval_callback(state, epoch)
             if test_metrics:
                 run_logger.append(
