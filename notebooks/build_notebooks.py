@@ -158,6 +158,14 @@ ax.set_xlabel("epoch"); ax.set_ylabel("m"); ax.legend(); ax.grid(alpha=.3)
 ax.set_title(run.name)
 plt.close(fig)
 fig"""),
+    ("md", "Interactive version: `make_dashboard` writes a self-contained "
+           "HTML dashboard (hover tooltips, click-to-hide runs, log scale, "
+           "config diff) — the bokeh-dashboard equivalent "
+           "(ref: utils/logs_bokeh.py)."),
+    ("code", """\
+from cosypose_tpu.visualization.dashboard import make_dashboard
+out = make_dashboard(pose_runs, exp_dir / "dashboard.html")
+print(out, f"{out.stat().st_size/1e3:.0f} kB")"""),
 ]
 
 NOTEBOOKS["visualize_singleview_predictions"] = [
