@@ -124,10 +124,12 @@ def vsd(d_est, d_gt, d_scene, diameter, taus_rel=VSD_TAUS_REL,
 # ---------------------------------------------------------------------------
 
 def _greedy_match_count(err_matrix, scores, theta):
-    """Toolkit matching: estimates in score order greedily take the
-    lowest-error unmatched GT with error < θ. Returns #matched GT."""
+    """Toolkit matching: only the top-n estimates by score are considered
+    (n = #valid GT for that image/object — the BOP19 "n-things" rule), and
+    each greedily takes the lowest-error unmatched GT with error < θ.
+    Returns #matched GT."""
     n_est, n_gt = err_matrix.shape
-    order = np.argsort(-np.asarray(scores))
+    order = np.argsort(-np.asarray(scores))[:n_gt]
     taken = np.zeros(n_gt, bool)
     n = 0
     for ei in order:

@@ -149,13 +149,13 @@ class TestVSD:
 
 
 class TestMatching:
-    def test_greedy_prefers_high_score(self):
-        # two estimates, one GT; the high-score estimate is wrong →
-        # it takes the GT slot only if below threshold
+    def test_top_n_rule(self):
+        # two estimates, one GT → BOP19 considers only the top-1 by score;
+        # the accurate-but-low-score estimate is NOT eligible
         err = np.array([[0.4], [0.01]])
         scores = [0.9, 0.5]
-        assert _greedy_match_count(err, scores, theta=0.1) == 1  # 2nd matches
-        assert _greedy_match_count(err, scores, theta=0.5) == 1  # 1st takes it
+        assert _greedy_match_count(err, scores, theta=0.1) == 0
+        assert _greedy_match_count(err, scores, theta=0.5) == 1  # 1st matches
 
     def test_each_gt_matched_once(self):
         err = np.array([[0.01, 0.02], [0.01, 0.5]])
