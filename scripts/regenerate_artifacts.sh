@@ -5,7 +5,11 @@
 # checkout (or a wiped VM) reruns this end-to-end on one TPU chip.
 #
 # Total budget on one v5e: ~45 min recording + ~2-4 h training + ~15 min eval.
-# Every step is resumable (recording has a chunk ledger; training --resume).
+# Every step is resumable (recording has a chunk ledger; training --resume),
+# and steps are ORDERED BY VALUE: the headline held-out-refinement artifact
+# regenerates first, the composed det->coarse->refiner AR next, the auxiliary
+# tiers last — so an interrupted run still leaves the most important numbers
+# on disk. results are synced into the tracked results/ dir after every eval.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -14,55 +18,72 @@ TRAIN="python -m cosypose_tpu.scripts.run_pose_training"
 DET="python -m cosypose_tpu.scripts.run_detector_training"
 ACC="python -m cosypose_tpu.scripts.run_procedural_accuracy"
 
-# ---- 1. recorded datasets (BOP layout, split_keys.json train/val) ----------
+# resumable training: --resume continues a partial run; a run already at its
+# final epoch exits immediately, so re-invoking a completed run is free
+train_resumable() {  # train_resumable <cli> <config> [extra args...]
+    local cli="$1" config="$2"; shift 2
+    if [ -d "local_data/experiments/$config/checkpoint" ]; then
+        $cli --config "$config" --resume "$@"
+    else
+        $cli --config "$config" "$@"
+    fi
+}
+
+sync_results() {
+    cp -v local_data/results/*.json results/ 2>/dev/null || true
+    # run_bop_inference writes per-dataset AR summaries into bop-<ds>/ subdirs
+    for d in local_data/results/bop-*/; do
+        [ -d "$d" ] || continue
+        mkdir -p "results/$(basename "$d")"
+        cp -v "$d"metrics-*.json "results/$(basename "$d")/" 2>/dev/null || true
+    done
+}
+
+# ---- 1. headline: held-out refinement (README accuracy table) ---------------
 # clean single-object tier: the held-out refinement regression trains here
-[ -d local_data/synt_datasets/procedural-solo ] || $REC --config procedural-solo
+[ -f local_data/synt_datasets/procedural-solo/split_keys.json ] || \
+    $REC --config procedural-solo
+train_resumable "$TRAIN" procedural-diag-lr0.003-solo
+$ACC --run-id procedural-diag-lr0.003-solo --n-frames 150 --n-iterations 4
+sync_results
+
+# ---- 2. coarse arm (box-seeded init) for the composed pipeline --------------
+train_resumable "$TRAIN" procedural-diag-lr0.003-solo-coarse
+$ACC --run-id procedural-diag-lr0.003-solo-coarse --n-frames 150 --n-iterations 2
+sync_results
+
+# ---- 3. occlusion-pile tiers (detector training + harder evals) -------------
 # canonical-appearance occlusion piles: trainability regression + mini eval
-[ -d local_data/synt_datasets/procedural-canon ] || $REC --config procedural-canon --n-frames 4400
+[ -f local_data/synt_datasets/procedural-canon/split_keys.json ] || \
+    $REC --config procedural-canon --n-frames 4400
 # randomized-texture occlusion piles: detector training + full-pipeline eval
-[ -d local_data/synt_datasets/procedural-4k ] || \
+[ -f local_data/synt_datasets/procedural-4k/split_keys.json ] || \
     $REC --config procedural --n-frames 4400 --out local_data/synt_datasets/procedural-4k
 
-# ---- 2. trained models ------------------------------------------------------
-# headline: held-out refinement (README accuracy table, pinned regression)
-[ -d local_data/experiments/procedural-diag-lr0.003-solo/checkpoint ] || \
-    $TRAIN --config procedural-diag-lr0.003-solo
-# coarse arm (box-seeded init) for the composed det->coarse->refiner pipeline
-[ -d local_data/experiments/procedural-diag-lr0.003-solo-coarse/checkpoint ] || \
-    $TRAIN --config procedural-diag-lr0.003-solo-coarse
-# eval-pipeline checkpoint (matched-AUC + per-pair protocol smoke)
-[ -d local_data/experiments/procedural-refiner-mini/checkpoint ] || \
-    $TRAIN --config procedural-refiner-mini
-# detector (CenterNet+YOLACT) over all three recorded tiers
-[ -d local_data/experiments/detector-procedural-all/checkpoint ] || \
-    $DET --config detector-procedural-all --n-epochs 60
-
-# ---- 3. measured results (results/ holds the tracked copies) ---------------
-$ACC --run-id procedural-diag-lr0.003-solo --n-frames 150 --n-iterations 4
-$ACC --run-id procedural-diag-lr0.003-solo-coarse --n-frames 150 --n-iterations 2
-$ACC --run-id procedural-refiner-mini --n-frames 150 --n-iterations 2
-python -m cosypose_tpu.scripts.run_detection_eval \
-    --dataset synthetic.procedural-4k.val \
-    --detector detector-procedural-all --object-ds procedural --masks
+# ---- 4. detector (CenterNet+YOLACT) over all three recorded tiers -----------
+train_resumable "$DET" detector-procedural-all --n-epochs 60
 python -m cosypose_tpu.scripts.run_detection_eval \
     --dataset synthetic.procedural-solo.val \
     --detector detector-procedural-all --object-ds procedural --masks
-# full pipeline (det -> coarse -> refiner, BOP19 AR incl. native VSD):
+python -m cosypose_tpu.scripts.run_detection_eval \
+    --dataset synthetic.procedural-4k.val \
+    --detector detector-procedural-all --object-ds procedural --masks
+sync_results
+
+# ---- 5. composed pipeline: det -> coarse -> refiner, BOP19 AR (native VSD) --
 python -m cosypose_tpu.scripts.run_bop_inference --dataset procedural \
     --inference-ds synthetic.procedural-solo.val \
     --detector detector-procedural-all \
     --coarse procedural-diag-lr0.003-solo-coarse \
     --refiner procedural-diag-lr0.003-solo
+sync_results
+
+# ---- 6. auxiliary tier: mini refiner (eval-pipeline smoke + 4k inference) ----
+train_resumable "$TRAIN" procedural-refiner-mini
+$ACC --run-id procedural-refiner-mini --n-frames 150 --n-iterations 2
 # harder 4k piles tier: box-seeded init + mini refiner
 python -m cosypose_tpu.scripts.run_bop_inference --dataset procedural \
     --n-frames 150 --detector detector-procedural-all \
     --refiner procedural-refiner-mini
-
-cp -v local_data/results/*.json results/ 2>/dev/null || true
-# run_bop_inference writes per-dataset AR summaries into bop-<ds>/ subdirs
-for d in local_data/results/bop-*/; do
-    [ -d "$d" ] || continue
-    mkdir -p "results/$(basename "$d")"
-    cp -v "$d"metrics-*.json "results/$(basename "$d")/" 2>/dev/null || true
-done
+sync_results
 echo "regeneration complete; tracked copies in results/"
