@@ -59,6 +59,14 @@ def test_make_dashboard_self_contained(run_dirs, tmp_path):
     assert "config diff" in html and "0.001" in html
 
 
+def test_cli_main(run_dirs, tmp_path):
+    from cosypose_tpu.scripts.make_dashboard import main
+
+    out = main(["run-a", "run-b", "--exp-dir", str(run_dirs[0].parent),
+                "--out", str(tmp_path / "cli.html")])
+    assert out.exists() and "run-b" in out.read_text()
+
+
 def test_missing_log_and_config_are_tolerated(tmp_path):
     empty = tmp_path / "empty-run"
     empty.mkdir()
