@@ -19,14 +19,33 @@ DET="python -m cosypose_tpu.scripts.run_detector_training"
 ACC="python -m cosypose_tpu.scripts.run_procedural_accuracy"
 
 # resumable training: --resume continues a partial run; a run already at its
-# final epoch exits immediately, so re-invoking a completed run is free
+# final epoch exits immediately, so re-invoking a completed run is free.
+# The axon tunnel occasionally drops a remote_compile connection mid-run
+# (JaxRuntimeError: INTERNAL ... response body closed) — each attempt resumes
+# from the last per-epoch checkpoint, so retries only replay the tail.
 train_resumable() {  # train_resumable <cli> <config> [extra args...]
     local cli="$1" config="$2"; shift 2
-    if [ -d "local_data/experiments/$config/checkpoint" ]; then
-        $cli --config "$config" --resume "$@"
-    else
-        $cli --config "$config" "$@"
-    fi
+    local attempt
+    for attempt in 1 2 3 4; do
+        if [ -d "local_data/experiments/$config/checkpoint" ]; then
+            $cli --config "$config" --resume "$@" && return 0
+        else
+            $cli --config "$config" "$@" && return 0
+        fi
+        echo "training $config failed (attempt $attempt), retrying" >&2
+        sleep 20
+    done
+    return 1
+}
+
+retry() {  # retry <cmd...> — 3 attempts for flaky tunnel dispatches
+    local attempt
+    for attempt in 1 2 3; do
+        "$@" && return 0
+        echo "command failed (attempt $attempt): $*" >&2
+        sleep 20
+    done
+    return 1
 }
 
 sync_results() {
@@ -42,36 +61,36 @@ sync_results() {
 # ---- 1. headline: held-out refinement (README accuracy table) ---------------
 # clean single-object tier: the held-out refinement regression trains here
 [ -f local_data/synt_datasets/procedural-solo/split_keys.json ] || \
-    $REC --config procedural-solo
+    retry $REC --config procedural-solo
 train_resumable "$TRAIN" procedural-diag-lr0.003-solo
-$ACC --run-id procedural-diag-lr0.003-solo --n-frames 150 --n-iterations 4
+retry $ACC --run-id procedural-diag-lr0.003-solo --n-frames 150 --n-iterations 4
 sync_results
 
 # ---- 2. coarse arm (box-seeded init) for the composed pipeline --------------
 train_resumable "$TRAIN" procedural-diag-lr0.003-solo-coarse
-$ACC --run-id procedural-diag-lr0.003-solo-coarse --n-frames 150 --n-iterations 2
+retry $ACC --run-id procedural-diag-lr0.003-solo-coarse --n-frames 150 --n-iterations 2
 sync_results
 
 # ---- 3. occlusion-pile tiers (detector training + harder evals) -------------
 # canonical-appearance occlusion piles: trainability regression + mini eval
 [ -f local_data/synt_datasets/procedural-canon/split_keys.json ] || \
-    $REC --config procedural-canon --n-frames 4400
+    retry $REC --config procedural-canon --n-frames 4400
 # randomized-texture occlusion piles: detector training + full-pipeline eval
 [ -f local_data/synt_datasets/procedural-4k/split_keys.json ] || \
-    $REC --config procedural --n-frames 4400 --out local_data/synt_datasets/procedural-4k
+    retry $REC --config procedural --n-frames 4400 --out local_data/synt_datasets/procedural-4k
 
 # ---- 4. detector (CenterNet+YOLACT) over all three recorded tiers -----------
 train_resumable "$DET" detector-procedural-all --n-epochs 60
-python -m cosypose_tpu.scripts.run_detection_eval \
+retry python -m cosypose_tpu.scripts.run_detection_eval \
     --dataset synthetic.procedural-solo.val \
     --detector detector-procedural-all --object-ds procedural --masks
-python -m cosypose_tpu.scripts.run_detection_eval \
+retry python -m cosypose_tpu.scripts.run_detection_eval \
     --dataset synthetic.procedural-4k.val \
     --detector detector-procedural-all --object-ds procedural --masks
 sync_results
 
 # ---- 5. composed pipeline: det -> coarse -> refiner, BOP19 AR (native VSD) --
-python -m cosypose_tpu.scripts.run_bop_inference --dataset procedural \
+retry python -m cosypose_tpu.scripts.run_bop_inference --dataset procedural \
     --inference-ds synthetic.procedural-solo.val \
     --detector detector-procedural-all \
     --coarse procedural-diag-lr0.003-solo-coarse \
@@ -80,9 +99,9 @@ sync_results
 
 # ---- 6. auxiliary tier: mini refiner (eval-pipeline smoke + 4k inference) ----
 train_resumable "$TRAIN" procedural-refiner-mini
-$ACC --run-id procedural-refiner-mini --n-frames 150 --n-iterations 2
+retry $ACC --run-id procedural-refiner-mini --n-frames 150 --n-iterations 2
 # harder 4k piles tier: box-seeded init + mini refiner
-python -m cosypose_tpu.scripts.run_bop_inference --dataset procedural \
+retry python -m cosypose_tpu.scripts.run_bop_inference --dataset procedural \
     --n-frames 150 --detector detector-procedural-all \
     --refiner procedural-refiner-mini
 sync_results
