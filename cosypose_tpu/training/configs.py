@@ -129,9 +129,12 @@ def make_cfg(config_name: str, debug: bool = False) -> RunConfig:
                         else "obs+render+diff"),
         )
         lr = 1e-3
-        aux = 0.0
-        n_epochs = 20
+        aux = None
+        n_epochs = None
         n_iterations = 1
+        # "-rot" arm: the reference's full SE(3) refiner noise (±15° euler,
+        # ref pose_forward_loss.py:36-40); "rot<N>" picks another magnitude
+        rot_deg = 0.0
         for part in config_name.split("-"):
             if part.startswith("lr"):
                 lr = float(part[2:])
@@ -143,7 +146,21 @@ def make_cfg(config_name: str, debug: bool = False) -> RunConfig:
                 n_epochs = int(part[2:])
             elif part.startswith("it"):
                 n_iterations = int(part[2:])
-        noise_euler = (10.0, 10.0, 10.0) if "-rot" in config_name else (0.0,) * 3
+            elif part == "rot":
+                rot_deg = 15.0
+            elif part.startswith("rot"):
+                rot_deg = float(part[3:])
+        # coarse arms must recover rotation from the ~120°-off z-up box init;
+        # the L1 point loss alone plateaus at the constant-identity basin on
+        # this budget (measured r3: rot_deg_median 120°→137°, 128k samples),
+        # so coarse defaults to the aux L2 regression escape (linear dynamics
+        # on dR — ops/losses.py:loss_refiner_aux_regression) + a 3x schedule.
+        # Rot-noise refiner arms get the same escape for the same reason.
+        if aux is None:
+            aux = 0.3 if ("-coarse" in config_name or rot_deg > 0.0) else 0.0
+        if n_epochs is None:
+            n_epochs = 60 if "-coarse" in config_name else 20
+        noise_euler = (rot_deg,) * 3
         # "-coarse" arm: box-seeded init (z-up auto-depth + translation noise,
         # the pipeline's detection-time init — ref pose_forward_loss.py:32-36
         # 'fixed' generator) instead of noisy GT, so the trained model slots in

@@ -66,7 +66,14 @@ train_resumable "$TRAIN" procedural-diag-lr0.003-solo
 retry $ACC --run-id procedural-diag-lr0.003-solo --n-frames 150 --n-iterations 4
 sync_results
 
+# ---- 1b. rotation arm: reference ±15° euler refiner noise (VERDICT r3 #2a) --
+train_resumable "$TRAIN" procedural-diag-lr0.003-solo-rot-ep40
+retry $ACC --run-id procedural-diag-lr0.003-solo-rot-ep40 --n-frames 150 --n-iterations 4
+sync_results
+
 # ---- 2. coarse arm (box-seeded init) for the composed pipeline --------------
+# r4: coarse arms default to aux L2 regression + 60-epoch schedule so rotation
+# moves from the ~120°-off z-up box init (training/configs.py)
 train_resumable "$TRAIN" procedural-diag-lr0.003-solo-coarse
 retry $ACC --run-id procedural-diag-lr0.003-solo-coarse --n-frames 150 --n-iterations 2
 sync_results
