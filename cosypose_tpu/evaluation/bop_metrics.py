@@ -23,9 +23,12 @@ Recall thresholds (BOP19):
   VSD:  θ ∈ {0.05..0.50} × τ ∈ {5%..50%}·diameter (100 combinations)
 AR_x = mean recall over its thresholds; AR = mean(AR_VSD, AR_MSSD, AR_MSPD).
 
-Matching follows the toolkit protocol: GT with visib_fract < 0.1 are ignored,
-estimates are ranked by score and the top n (n = #valid GT in the image for
-that object) greedily match the lowest-error unmatched GT below threshold.
+Matching follows the toolkit protocol (eval_calc_scores.py, n_top=-1):
+estimates are ranked by score and the top n (n = #annotated GT instances of
+the label, including low-visibility ones) greedily match the lowest-error
+unmatched GT below threshold; GT with visib_fract < 0.1 are ignored — an
+estimate matched to one is dropped (neither TP nor top-n survivor) and the
+recall denominator counts valid GT only.
 """
 
 from __future__ import annotations
@@ -123,12 +126,16 @@ def vsd(d_est, d_gt, d_scene, diameter, taus_rel=VSD_TAUS_REL,
 # matching + Average Recall
 # ---------------------------------------------------------------------------
 
-def _greedy_match_count(err_matrix, scores, theta):
-    """Toolkit matching: only the top-n estimates by score are considered
-    (n = #valid GT for that image/object — the BOP19 "n-things" rule), and
-    each greedily takes the lowest-error unmatched GT with error < θ.
-    Returns #matched GT."""
+def _greedy_match_count(err_matrix, scores, theta, gt_valid=None):
+    """Toolkit matching (eval_calc_scores.py semantics): the top-n estimates
+    by score are considered, where n counts ALL annotated GT instances of the
+    label — including low-visibility ones the recall ignores — and each
+    estimate greedily takes the lowest-error unmatched GT with error < θ.
+    A match to an ignored GT consumes the estimate but does not count; only
+    matches to valid (visib ≥ 0.1) GT are returned."""
     n_est, n_gt = err_matrix.shape
+    if gt_valid is None:
+        gt_valid = np.ones(n_gt, bool)
     order = np.argsort(-np.asarray(scores))[:n_gt]
     taken = np.zeros(n_gt, bool)
     n = 0
@@ -137,7 +144,7 @@ def _greedy_match_count(err_matrix, scores, theta):
         if len(cand):
             gi = cand[np.argmin(err_matrix[ei, cand])]
             taken[gi] = True
-            n += 1
+            n += int(gt_valid[gi])
     return n
 
 
@@ -153,15 +160,23 @@ class BopAverageRecall:
         self.groups = {t: [] for t in self.error_types}
         self.n_gt = 0
 
-    def add_group(self, errors: dict, scores, n_valid_gt: int):
+    def add_group(self, errors: dict, scores, gt_valid):
         """errors[type] = (n_est, n_gt[, n_tau]) error array for one image's
-        estimates of one object label vs its valid GTs."""
-        self.n_gt += int(n_valid_gt)
+        estimates of one object label vs ALL its annotated GTs.
+
+        gt_valid: bool mask over the GT columns (True = visib ≥ 0.1, counts
+        toward recall; False = ignored — can absorb an estimate but scores
+        nothing), or an int n meaning the first n columns are all valid."""
+        if np.isscalar(gt_valid):
+            gt_valid = np.ones(int(gt_valid), bool)
+        gt_valid = np.asarray(gt_valid, bool)
+        self.n_gt += int(gt_valid.sum())
         for t in self.error_types:
             e = np.asarray(errors[t], np.float64)
             if e.ndim == 2:
                 e = e[..., None]
-            self.groups[t].append((e, np.asarray(scores, np.float64)))
+            self.groups[t].append(
+                (e, np.asarray(scores, np.float64), gt_valid))
 
     def summary(self):
         out = {}
@@ -181,8 +196,8 @@ class BopAverageRecall:
                 for ti, th in enumerate(thresholds):
                     matched = sum(
                         _greedy_match_count(e[:, :, min(vi, e.shape[2] - 1)],
-                                            s, th)
-                        for e, s in self.groups[t]
+                                            s, th, gv)
+                        for e, s, gv in self.groups[t]
                     )
                     recalls[vi, ti] = matched / max(self.n_gt, 1)
             ar = float(recalls.mean())
@@ -253,20 +268,23 @@ def compute_bop19_ar(preds, scene_ds, mesh_db, renderer=None,
         d_scene = obs["camera"].get("depth")
         TCW = np.linalg.inv(np.asarray(obs["camera"]["TWC"], np.float64))
 
-        # GT rows by label
-        gt_by_label = {}
+        # ALL annotated GT rows by label; low-visibility ones are kept as
+        # ignored columns (they absorb estimates, score nothing) — toolkit
+        # eval_calc_scores.py semantics with n_top=-1
+        gt_by_label, gt_valid_by_label = {}, {}
         for o in obs["objects"]:
-            if float(o.get("visib_fract", 1.0)) < visib_gt_min:
-                continue
             TCO = TCW @ np.asarray(o["TWO"], np.float64)
             gt_by_label.setdefault(o["label"], []).append(TCO)
+            gt_valid_by_label.setdefault(o["label"], []).append(
+                float(o.get("visib_fract", 1.0)) >= visib_gt_min)
 
         sel = pred_infos[(pred_infos["scene_id"] == frame["scene_id"])
                          & (pred_infos["view_id"] == frame["view_id"])]
         for label, gts in gt_by_label.items():
+            gt_valid = np.asarray(gt_valid_by_label[label], bool)
             rows = sel[sel["label"] == label]
             scores = rows["score"].values if len(rows) else np.zeros(0)
-            # top-n by score (n = #valid GT), toolkit protocol
+            # top-n by score (n = #annotated instances), toolkit protocol
             if len(rows) > len(gts):
                 keep = np.argsort(-scores)[:len(gts)]
                 rows = rows.iloc[keep]
@@ -294,7 +312,7 @@ def compute_bop19_ar(preds, scene_ds, mesh_db, renderer=None,
                 else:
                     errors["vsd"] = _vsd_matrix(
                         renderer, lid, ests, gts, K, d_scene, diam)
-            acc.add_group(errors, scores, len(gts))
+            acc.add_group(errors, scores, gt_valid)
 
     if missing_depth:
         logger.warning(f"VSD: {missing_depth} groups had no scene depth "

@@ -191,9 +191,11 @@ def main(argv=None):
 
     out_dir = pathlib.Path(RESULTS_DIR) / f"bop-{ds}"
     out_dir.mkdir(parents=True, exist_ok=True)
+    csv_paths = {}
     for key, tc in preds.items():
         csv = out_dir / f"cosyposetpu_{key}-{ds}-test.csv"
         predictions_to_bop_csv(tc, csv)
+        csv_paths[key] = csv
         logger.info(f"Wrote {csv} ({len(tc)} predictions)")
 
     if ds == "procedural":
@@ -267,6 +269,10 @@ def main(argv=None):
                            metrics=metrics), f, indent=2)
         logger.info(f"wrote {mpath}")
         return metrics
+    # BOP datasets score via the external toolkit on the exported CSVs
+    # (scripts/run_bop_eval.py); the programmatic contract here is the
+    # written artifact paths, one per prediction key
+    return csv_paths
 
 
 if __name__ == "__main__":

@@ -52,7 +52,7 @@ def export_pose_model(model, batch_size: int, image_hw, n_iterations: int = 1,
     """
     from jax import export as jexport
 
-    cfg = model._cfg
+    cfg = model.predictor.cfg
     mesh_db = model.mesh_db
     variables = model.variables
     h, w = image_hw

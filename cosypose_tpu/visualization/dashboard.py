@@ -18,6 +18,7 @@ Run-dir layout consumed (training/checkpoint.py:10-14):
                             "val/loss_total", "eval/<ds>/<metric>"
 """
 
+import html as html_mod
 import json
 import pathlib
 
@@ -105,6 +106,8 @@ def discover_fields(runs, prefix):
 
 
 _JS = """
+const esc = s => String(s).replace(/&/g, '&amp;').replace(/</g, '&lt;')
+                          .replace(/>/g, '&gt;').replace(/"/g, '&quot;');
 function draw(el, chart, logScale) {
   const W = 420, H = 260, L = 52, R = 10, T = 26, B = 30;
   const vis = chart.series.filter(s => !s.hidden);
@@ -118,7 +121,7 @@ function draw(el, chart, logScale) {
   const sx = v => L + (v - x0) / Math.max(x1 - x0, 1e-12) * (W - L - R);
   const sy = v => H - B - (tf(v) - y0) / Math.max(y1 - y0, 1e-12) * (H - T - B);
   let g = `<svg width="${W}" height="${H}">`;
-  g += `<text x="${L}" y="14" class="t">${chart.field}</text>`;
+  g += `<text x="${L}" y="14" class="t">${esc(chart.field)}</text>`;
   for (let i = 0; i <= 4; i++) {
     const yy = T + i * (H - T - B) / 4;
     const val = logScale ? Math.pow(10, y1 - i * (y1 - y0) / 4)
@@ -160,8 +163,8 @@ function render() {
   document.querySelectorAll('.chart').forEach((el, i) => draw(el, DATA.charts[i], logScale));
   const leg = document.getElementById('legend');
   leg.innerHTML = DATA.runs.map((r, i) =>
-    `<span class="lg" data-run="${r}" style="text-decoration:${HIDDEN.has(r) ? 'line-through' : 'none'}">` +
-    `<span class="sw" style="background:${DATA.palette[i % DATA.palette.length]}"></span>${r}</span>`).join('');
+    `<span class="lg" data-run="${esc(r)}" style="text-decoration:${HIDDEN.has(r) ? 'line-through' : 'none'}">` +
+    `<span class="sw" style="background:${DATA.palette[i % DATA.palette.length]}"></span>${esc(r)}</span>`).join('');
   leg.querySelectorAll('.lg').forEach(el => el.addEventListener('click', () => {
     const r = el.dataset.run;
     HIDDEN.has(r) ? HIDDEN.delete(r) : HIDDEN.add(r);
@@ -204,11 +207,14 @@ def make_dashboard(run_dirs, out_path, train_fields=None, eval_fields=None):
 
     diff_rows = config_diff(runs)
     names = list(runs)
+    # run names / config values come from the filesystem and user YAML:
+    # escape them so '<', '&', quotes can't break or inject into the page
+    e = html_mod.escape
     table = ["<tr><th>config key</th>"
-             + "".join(f"<th>{n}</th>" for n in names) + "</tr>"]
+             + "".join(f"<th>{e(str(n))}</th>" for n in names) + "</tr>"]
     for key, vals in diff_rows:
-        table.append(f"<tr><td>{key}</td>" + "".join(
-            f"<td>{vals[n]}</td>" for n in names) + "</tr>")
+        table.append(f"<tr><td>{e(str(key))}</td>" + "".join(
+            f"<td>{e(str(vals[n]))}</td>" for n in names) + "</tr>")
 
     html = f"""<!doctype html><html><head><meta charset="utf-8">
 <title>cosypose_tpu runs</title><style>{_CSS}</style></head><body>
@@ -217,7 +223,7 @@ def make_dashboard(run_dirs, out_path, train_fields=None, eval_fields=None):
 <div id="legend"></div>
 <div>{"".join('<div class="chart"></div>' for _ in charts)}</div>
 <h3>config diff</h3><table>{"".join(table)}</table>
-<script>const DATA = {json.dumps(data)};{_JS}</script></body></html>"""
+<script>const DATA = {json.dumps(data).replace("</", "<\\/")};{_JS}</script></body></html>"""
 
     out_path = pathlib.Path(out_path)
     out_path.parent.mkdir(parents=True, exist_ok=True)

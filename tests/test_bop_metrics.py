@@ -165,13 +165,24 @@ class TestMatching:
         err = np.array([[0.4]])
         assert _greedy_match_count(err, [1.0], theta=0.1) == 0
 
+    def test_ignored_gt_absorbs_estimate(self):
+        # toolkit semantics: the best (top-score) estimate matches an
+        # ignored low-visibility GT → it is consumed without scoring, and
+        # the second estimate still matches the valid GT (top-n counts ALL
+        # annotated instances, so both estimates are eligible)
+        err = np.array([[0.01, 0.3], [0.3, 0.01]])  # cols: [ignored, valid]
+        gt_valid = np.array([False, True])
+        assert _greedy_match_count(err, [0.9, 0.5], 0.1, gt_valid) == 1
+        # the ignored match itself contributes nothing
+        assert _greedy_match_count(err[:1], [0.9], 0.1, gt_valid) == 0
+
 
 class TestAverageRecall:
     def test_perfect_predictions_ar_one(self):
         acc = BopAverageRecall(("mssd", "mspd"))
         acc.add_group(
             {"mssd": np.zeros((1, 1)), "mspd": np.zeros((1, 1))},
-            scores=[1.0], n_valid_gt=1,
+            scores=[1.0], gt_valid=1,
         )
         s = acc.summary()
         assert s["AR"] == 1.0 and s["AR_mssd"] == 1.0 and s["n_gt"] == 1
@@ -201,6 +212,14 @@ class TestAverageRecall:
         acc = BopAverageRecall(("mssd",))
         acc.add_group({"mssd": np.zeros((1, 1))}, [1.0], 2)  # 1 est, 2 GT
         assert acc.summary()["AR_mssd"] == pytest.approx(0.5)
+
+    def test_ignored_gt_not_in_denominator(self):
+        # one valid GT (matched) + one ignored GT: recall 1.0, n_gt 1
+        acc = BopAverageRecall(("mssd",))
+        acc.add_group({"mssd": np.array([[0.0, 10.0]])}, [1.0],
+                      np.array([True, False]))
+        s = acc.summary()
+        assert s["AR_mssd"] == 1.0 and s["n_gt"] == 1
 
     def test_mspd_thresholds_pixels(self):
         # 12 px error at width 640 matches θ ∈ {15..50} → 8/10
