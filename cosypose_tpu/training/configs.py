@@ -150,6 +150,11 @@ def make_cfg(config_name: str, debug: bool = False) -> RunConfig:
                 rot_deg = 15.0
             elif part.startswith("rot"):
                 rot_deg = float(part[3:])
+            elif part == "b3":
+                # backbone-parity arm: the B3 flagship backbone at the same
+                # budget/data as the WRN18 arm — the accuracy half of the
+                # flagship-selection argument (README "Per-stage roofline")
+                mini = dataclasses.replace(mini, backbone="efficientnet-b3")
         # coarse arms must recover rotation from the ~120°-off z-up box init;
         # the L1 point loss alone plateaus at the constant-identity basin on
         # this budget (measured r3: rot_deg_median 120°→137°, 128k samples),

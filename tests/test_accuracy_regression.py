@@ -172,8 +172,66 @@ def test_heldout_refinement_holds_under_render_lod():
     assert refined < 0.85 * init, (init, refined)
 
 
+_ROT_RUN = EXP_DIR / "procedural-diag-lr0.003-solo-rot-ep40"
+
+
+@pytest.mark.skipif(
+    not (_SOLO_DS.exists() and (_ROT_RUN / "checkpoint").exists()),
+    reason="needs recorded procedural-solo + trained rot-noise refiner",
+)
+def test_heldout_rotation_refinement():
+    """Rotation refinement (VERDICT r3 #2a): a refiner trained with the
+    reference's full SE(3) noise (±15° euler — ref pose_forward_loss.py:36-40,
+    here the -rot arm + aux L2 escape) must cut held-out rot_deg_median by a
+    clear margin over the composed iterations, alongside the existing
+    translation regression — the third disentangled axis, demonstrated."""
+    from cosypose_tpu.scripts.run_procedural_accuracy import main
+
+    results = main([
+        "--run-id", "procedural-diag-lr0.003-solo-rot-ep40",
+        "--n-frames", "48",
+        "--n-iterations", "4",
+    ])
+    init = results["per_pair"]["init"]["rot_deg_median"]
+    assert init > 5.0, f"init rot error degenerate ({init:.2f}deg): " \
+        "the arm must actually exercise rotation noise"
+    best = min(results["per_pair"][f"iteration={i}"]["rot_deg_median"]
+               for i in range(1, 5))
+    assert best < 0.70 * init, (init, best)
+    # translation must not regress while rotation improves
+    add_init = results["per_pair"]["init"]["ADD_median"]
+    add_best = min(results["per_pair"][f"iteration={i}"]["ADD_median"]
+                   for i in range(1, 5))
+    assert add_best < add_init, (add_init, add_best)
+
+
 _DET_RUN = EXP_DIR / "detector-procedural-all"
 _COARSE_RUN = EXP_DIR / "procedural-diag-lr0.003-solo-coarse"
+
+
+@pytest.mark.skipif(
+    not (_SOLO_DS.exists() and (_COARSE_RUN / "checkpoint").exists()),
+    reason="needs recorded procedural-solo + trained coarse model",
+)
+def test_coarse_recovers_rotation_from_box_init():
+    """Coarse-stage rotation recovery (VERDICT r3 #2b): from the pipeline's
+    z-up box init (~120° off, ref lib3d/cosypose_ops.py:138-173 'fixed'
+    generator) the trained coarse model must move rotation decisively
+    (< 90° held-out median — r3 measured 120°→137°, i.e. NOT moving) and
+    produce enough matched poses that matched-AUC is finite."""
+    from cosypose_tpu.scripts.run_procedural_accuracy import main
+
+    results = main([
+        "--run-id", "procedural-diag-lr0.003-solo-coarse",
+        "--n-frames", "48",
+        "--n-iterations", "2",
+    ])
+    init = results["per_pair"]["init"]["rot_deg_median"]
+    assert init > 90.0, f"box init should start ~120deg off, got {init:.1f}"
+    best = min(results["per_pair"][f"iteration={i}"]["rot_deg_median"]
+               for i in range(1, 3))
+    assert best < 90.0, (init, best)
+    assert results["matched_auc"]["refined"]["n_matched"] > 0
 
 
 @pytest.mark.skipif(
