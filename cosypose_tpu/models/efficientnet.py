@@ -123,6 +123,39 @@ class DepthwiseConv(nn.Module):
         return acc
 
 
+class DenseLoweredDepthwise(nn.Module):
+    """Depthwise conv embedded in a zero-off-diagonal DENSE conv (MXU lowering).
+
+    The VERDICT-r3 roofline shows B3's depthwise stages running on the VPU at
+    ~8% MFU; this lowering trades C× more FLOPs (W[a,b,i,o] = dw[a,b,o]·δ_io)
+    for MXU execution — potentially a win where the MXU:VPU throughput ratio
+    exceeds the channel count. Same parameter tree as nn.Conv's grouped kernel
+    ("kernel" (kh,kw,1,C)) so checkpoints load against any dw_impl. Measured
+    on v5e (bench_stages --dw-impl dense, B3 240x320 B=64 bf16): see README
+    roofline table — recorded either way, win or dead end.
+    """
+
+    features: int
+    kernel: tuple[int, int]
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kh, kw, 1, self.features), jnp.float32,
+        ).astype(self.dtype)
+        C = self.features
+        w_dense = jnp.eye(C, dtype=self.dtype)[None, None] * w  # (kh,kw,C,C)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w_dense,
+            window_strides=(self.stride, self.stride), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class MBConvBlock(nn.Module):
     in_ch: int
     out_ch: int
@@ -153,6 +186,11 @@ class MBConvBlock(nn.Module):
             x = nn.swish(x)
         if self.dw_impl == "shift":
             x = DepthwiseConv(
+                mid, (self.kernel, self.kernel), stride=self.stride,
+                dtype=self.dtype, name="dw_conv",
+            )(x)
+        elif self.dw_impl == "dense":
+            x = DenseLoweredDepthwise(
                 mid, (self.kernel, self.kernel), stride=self.stride,
                 dtype=self.dtype, name="dw_conv",
             )(x)

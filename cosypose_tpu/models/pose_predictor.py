@@ -80,8 +80,11 @@ class PosePredictorConfig:
 def make_backbone(cfg: PosePredictorConfig):
     n_ch = 9 if cfg.input_mode == "obs+render+diff" else 6
     if cfg.backbone.startswith("efficientnet"):
-        bb = EfficientNet(variant=cfg.backbone, in_channels=n_ch,
-                          dtype=cfg.compute_dtype)
+        # optional depthwise-lowering selector for the roofline experiments:
+        # "efficientnet-b3+dwdense" / "+dwshift" (models/efficientnet.py)
+        variant, _, dw = cfg.backbone.partition("+dw")
+        bb = EfficientNet(variant=variant, in_channels=n_ch,
+                          dtype=cfg.compute_dtype, dw_impl=dw or "conv")
         return bb, bb.n_features
     if "resnet34" in cfg.backbone:
         bb = WideResNet34(dtype=cfg.compute_dtype)

@@ -184,6 +184,10 @@ def make_cfg(config_name: str, debug: bool = False) -> RunConfig:
         cfg.object_ds_name = "procedural"
         cfg.input_resize = (120, 160)
         cfg.val_epoch_interval = 10
+        # dense in-training eval-bundle curve (matched-AUC / per-pair ADD
+        # every 5 epochs → log.jsonl → docs/dashboard.html), the reference's
+        # logs_bokeh eval plots capability (ref utils/logs_bokeh.py:17-65)
+        cfg.test_epoch_interval = 5
     elif config_name == "procedural-refiner-mini-moments":
         # mini config + spatial-moment pooling: plain GAP hides the
         # observed-vs-rendered image offset from the head behind zero-padding
