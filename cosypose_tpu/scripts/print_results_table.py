@@ -32,21 +32,30 @@ def per_pair_table(results: dict) -> str:
     """Markdown table of the known-correspondence per-pair ADD protocol
     (init vs refinement iterations) as printed in the README."""
     pp = results["per_pair"]
-    lines = [
-        "| | ADD mean | ADD median | p90 | dxy | dz | ADD<0.1d |",
-        "|---|---|---|---|---|---|---|",
-    ]
     init = pp["init"]
+    # rotation column only when the arm actually exercises rotation (the
+    # trans-only arms start at ~0.006° — a rot column would be noise)
+    with_rot = init.get("rot_deg_median", 0.0) > 1.0
+    rot_hdr = " rot med |" if with_rot else ""
+    lines = [
+        f"| | ADD mean | ADD median | p90 |{rot_hdr} dxy | dz | ADD<0.1d |",
+        "|---|---|---|---|---|---|---|" + ("---|" if with_rot else ""),
+    ]
 
     def row(name: str, s: dict, with_drop: bool) -> str:
         med = _mm(s["ADD_median"])
         dxy = _mm(s["dxy_mean"])
+        rot = f"{s['rot_deg_median']:.1f}°" if with_rot else ""
         if with_drop:
             med += _pct_drop(s["ADD_median"], init["ADD_median"])
             dxy += _pct_drop(s["dxy_mean"], init["dxy_mean"])
+            if with_rot:
+                rot += _pct_drop(s["rot_deg_median"], init["rot_deg_median"])
+        rot_cell = f" {rot} |" if with_rot else ""
         return (
             f"| {name} | {_mm(s['ADD_mean'])} | {med} | {_mm(s['ADD_p90'])} "
-            f"| {dxy} | {_mm(s['dz_mean'])} | {s['frac_ADD_lt_0p1d']:.3f} |"
+            f"|{rot_cell} {dxy} | {_mm(s['dz_mean'])} | "
+            f"{s['frac_ADD_lt_0p1d']:.3f} |"
         )
 
     lines.append(row("init (noisy)", init, with_drop=False))
