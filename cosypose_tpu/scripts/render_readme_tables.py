@@ -51,10 +51,29 @@ def bop19_ar_table(results: dict) -> str:
     )
 
 
+def multiview_table(results: dict) -> str:
+    """Steady-state row for a bench_multiview JSON (last rep = warm)."""
+    cfg = results["config"]
+    r = results["rows"][-1]
+    return (
+        "| scenario | candidates | matched | RANSAC (models/score/total) "
+        "| BA | objects out |\n"
+        "|---|---|---|---|---|---|\n"
+        f"| {cfg['n_views']} views · {cfg['n_objects']} objects · "
+        f"{cfg['ransac_iter']} hypotheses "
+        f"| {r['n_candidates']} | {r['n_matched']} "
+        f"| {r['ransac_models_s']*1e3:.0f} / {r['ransac_score_s']*1e3:.0f} / "
+        f"**{r['ransac_total_s']*1e3:.0f} ms** "
+        f"| **{r['ba_total_s']*1e3:.0f} ms** ({cfg['ba_iter']} LM iters, "
+        f"{r['n_groups']} group(s)) | {r['n_objects_out']} |"
+    )
+
+
 _RENDERERS = {
     "per_pair": per_pair_table,
     "detection": detection_table,
     "bop19_ar": bop19_ar_table,
+    "multiview": multiview_table,
 }
 
 
