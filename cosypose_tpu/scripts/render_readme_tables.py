@@ -42,10 +42,15 @@ _BLOCK = re.compile(
 def bop19_ar_table(results: dict) -> str:
     """One-row markdown table for a run_bop_inference metrics JSON."""
     ar = results["metrics"]["bop19_ar"]
+    label = {
+        "pose": "det → coarse → refiner",
+        "icp": "det → coarse → refiner → ICP(depth)",
+        "multiview": "det → coarse → refiner → multiview",
+    }.get(ar.get("prediction_key", "pose"), ar.get("prediction_key"))
     return (
         "| pipeline | AR | AR_vsd | AR_mssd | AR_mspd | n_gt |\n"
         "|---|---|---|---|---|---|\n"
-        f"| det → coarse → refiner ({results['n_frames']} frames) "
+        f"| {label} ({results['n_frames']} frames) "
         f"| **{ar['AR']:.3f}** | {ar['AR_vsd']:.3f} | {ar['AR_mssd']:.3f} "
         f"| {ar['AR_mspd']:.3f} | {ar['n_gt']:.0f} |"
     )

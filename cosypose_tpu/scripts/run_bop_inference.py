@@ -259,7 +259,9 @@ def main(argv=None):
                 f"mspd={ar['AR_mspd']:.4f}"
             )
 
-        mpath = out_dir / f"metrics-{inference_ds.replace('.', '_')}.json"
+        suffix = "-icp" if args.icp else ""
+        mpath = (out_dir
+                 / f"metrics-{inference_ds.replace('.', '_')}{suffix}.json")
         with open(mpath, "w") as f:
             json.dump(dict(dataset=inference_ds,
                            detector=args.detector or default_det,

@@ -61,6 +61,14 @@ retry python -m cosypose_tpu.scripts.bench_multiview \
     --json local_data/results/bench-multiview-protocol.json
 sync_results
 
+# ---- 3b. composed pipeline + depth ICP arm (recorded depth -> ICPRefiner) ---
+retry python -m cosypose_tpu.scripts.run_bop_inference --dataset procedural \
+    --inference-ds synthetic.procedural-solo.val \
+    --detector detector-procedural-all \
+    --coarse procedural-diag-lr0.003-solo-coarse \
+    --refiner procedural-diag-lr0.003-solo --icp
+sync_results
+
 # ---- 4. training dashboards from the regenerated runs (VERDICT r3 #8) -------
 python -m cosypose_tpu.scripts.make_dashboard \
     procedural-diag-lr0.003-solo procedural-diag-lr0.003-solo-rot-ep40 \
