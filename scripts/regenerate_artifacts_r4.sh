@@ -78,4 +78,16 @@ python -m cosypose_tpu.scripts.make_dashboard \
 
 # ---- 5. re-render every README block from the fresh artifacts ---------------
 python -m cosypose_tpu.scripts.render_readme_tables
+
+# ---- 6. roofline levers (VERDICT r3 #6): measured, win or dead end ----------
+mkdir -p local_data/results/roofline
+retry python -m cosypose_tpu.scripts.bench_stages --batch 128 \
+    --backbone efficientnet-b3 --json local_data/results/roofline/b3-b128.json
+retry python -m cosypose_tpu.scripts.bench_stages --batch 128 \
+    --backbone efficientnet-b3+dwdense \
+    --json local_data/results/roofline/b3-dwdense-b128.json
+retry python -m cosypose_tpu.scripts.bench_stages --batch 256 \
+    --backbone efficientnet-b3 --json local_data/results/roofline/b3-b256.json
+retry python -m cosypose_tpu.scripts.bench_stages --batch 128 \
+    --backbone wide-resnet18 --json local_data/results/roofline/wrn18-b128.json
 echo "r4 regeneration complete"
