@@ -1,1 +1,7 @@
-from .mesh import make_mesh, shard_batch, replicate
+from .mesh import (
+    fsdp_shardings,
+    gather_to_host,
+    make_mesh,
+    replicate,
+    shard_batch,
+)

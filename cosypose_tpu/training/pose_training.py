@@ -241,13 +241,23 @@ def make_val_step(pp: PosePredictor, cfg: PoseTrainConfig, mesh_db,
 
 
 def make_train_step(pp: PosePredictor, cfg: PoseTrainConfig, mesh_db,
-                    mesh: Optional[Mesh] = None):
+                    mesh: Optional[Mesh] = None,
+                    param_mode: str = "replicated",
+                    state: Optional[TrainState] = None):
     """Build the jitted DP train step.
 
-    With a Mesh, the batch is sharded over the 'data' axis and params are
-    replicated; XLA inserts the gradient all-reduce over ICI (replaces the
-    reference's DDP/NCCL, SURVEY.md §2.14). Metrics come back already averaged
-    over the global batch (replaces reduce_dict, ref: utils/distributed.py:72-98).
+    With a Mesh, the batch is sharded over the 'data' axis; XLA inserts the
+    gradient collectives over ICI (replaces the reference's DDP/NCCL,
+    SURVEY.md §2.14). Metrics come back already averaged over the global
+    batch (replaces reduce_dict, ref: utils/distributed.py:72-98).
+
+    param_mode:
+      "replicated" — params/opt-state replicated, gradient all-reduce
+                     (the reference's DDP semantics).
+      "fsdp"       — params/opt-state sharded over the 'data' axis
+                     (parallel.fsdp_shardings, ZeRO-style); XLA emits
+                     per-layer all-gathers + gradient reduce-scatters.
+                     Requires `state` to derive the sharding pytree.
     """
 
     def train_step(state: TrainState, batch, rng):
@@ -267,9 +277,18 @@ def make_train_step(pp: PosePredictor, cfg: PoseTrainConfig, mesh_db,
 
     batch_sharding = NamedSharding(mesh, P("data"))
     replicated = NamedSharding(mesh, P())
+    if param_mode == "fsdp":
+        from ..parallel import fsdp_shardings
+
+        assert state is not None, "fsdp needs the state to derive shardings"
+        state_shardings = fsdp_shardings(mesh, state)
+    elif param_mode == "replicated":
+        state_shardings = replicated
+    else:
+        raise ValueError(f"unknown param_mode {param_mode!r}")
     return jax.jit(
         train_step,
-        in_shardings=(replicated, batch_sharding, replicated),
-        out_shardings=(replicated, replicated),
+        in_shardings=(state_shardings, batch_sharding, replicated),
+        out_shardings=(state_shardings, replicated),
         donate_argnums=(0,),
     )

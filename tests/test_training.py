@@ -85,6 +85,46 @@ def test_train_step_sharded_8_devices():
     assert int(state2.step) == 1
 
 
+def test_train_step_fsdp_matches_replicated():
+    """ZeRO-style param/opt-state sharding (param_mode='fsdp') computes the
+    SAME step as replicated DP — XLA's all-gather/reduce-scatter placement
+    must not change the math — and actually shards the big leaves."""
+    from jax.sharding import NamedSharding
+
+    mesh = make_mesh(8)
+    cfg = tiny_cfg(input_generator="gt+noise")
+    db = build_mesh_db(cube_specs())
+    batch = make_batch(16)
+    rngs = (jax.random.PRNGKey(0), jax.random.PRNGKey(1))
+
+    pp, state_r = create_train_state(cfg, rngs[0])
+    step_r = make_train_step(pp, cfg, db, mesh=mesh)
+    out_r, metrics_r = step_r(state_r, batch, rngs[1])
+
+    pp, state_f = create_train_state(cfg, rngs[0])
+    step_f = make_train_step(pp, cfg, db, mesh=mesh, param_mode="fsdp",
+                             state=state_f)
+    out_f, metrics_f = step_f(state_f, batch, rngs[1])
+
+    assert np.isfinite(float(metrics_f["loss_total"]))
+    np.testing.assert_allclose(
+        float(metrics_f["loss_total"]), float(metrics_r["loss_total"]),
+        rtol=2e-5,
+    )
+    # the updated params agree leaf-wise (bf16/reduction-order noise floor)
+    for a, b in zip(jax.tree.leaves(out_r.params),
+                    jax.tree.leaves(out_f.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-4)
+    # at least one large leaf is genuinely sharded over the mesh
+    sharded = [
+        x for x in jax.tree.leaves(out_f.params)
+        if isinstance(x.sharding, NamedSharding)
+        and any(s is not None for s in x.sharding.spec)
+    ]
+    assert sharded, "no parameter leaf was sharded under fsdp"
+
+
 def test_lr_schedule():
     from cosypose_tpu.training.pose_training import lr_schedule
 
