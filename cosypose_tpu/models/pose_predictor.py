@@ -36,7 +36,8 @@ class PosePredictorConfig:
     backbone: str = "efficientnet-b3"
     render_size: tuple[int, int] = (240, 320)
     pose_dim: int = 9
-    pooling: str = "gap"  # 'gap' (reference semantics) | 'gap+moments'
+    pooling: str = "gap"  # '+'-joined: 'gap' (reference semantics) |
+    # 'gap+moments' | 'gap+moments+flatten' (spatial grid kept — rotation)
     input_mode: str = "obs+render"  # | 'obs+render+diff' (9ch: + obs-render)
     vxvy_scale: float = 1.0
     # Output gain on the vx/vy head. The image-space update consumes vx/vy in
@@ -134,17 +135,37 @@ class PoseNet(nn.Module):
     def __call__(self, x_nhwc, train: bool = False):
         backbone, _ = make_backbone(self.cfg)
         feats = backbone(x_nhwc, train=train)          # (B, h, w, C)
+        parts = self.cfg.pooling.split("+")
         pooled = feats.mean(axis=(1, 2)).astype(jnp.float32)
-        if self.cfg.pooling == "gap+moments":
+        if "moments" in parts:
             h, w = feats.shape[1], feats.shape[2]
             fy = jnp.linspace(-1.0, 1.0, h, dtype=feats.dtype)[:, None, None]
             fx = jnp.linspace(-1.0, 1.0, w, dtype=feats.dtype)[None, :, None]
             mx = (feats * fx).mean(axis=(1, 2)).astype(jnp.float32)
             my = (feats * fy).mean(axis=(1, 2)).astype(jnp.float32)
             pooled = jnp.concatenate([pooled, mx, my], axis=-1)
+        if "flatten" in parts:
+            # keep the final spatial grid: GAP(+moments) statistics are
+            # nearly ROTATION-blind — measured on the ±15° SE(3) refiner arm,
+            # the rot head stays at the identity output (feature/residual
+            # correlation ≈ 0) while xy/z learn; the flattened grid exposes
+            # orientation directly. ~h·w·C extra head inputs (4·5·512 ≈ 10k
+            # for wide-resnet18 at 120x160) — negligible params, no FLOPs.
+            # LayerNorm controls the raw-activation scale so the linear head
+            # sees O(1) inputs (raw backbone activations vary over ~2 orders
+            # of magnitude across training, which destabilized the probe arm).
+            flat = feats.reshape(feats.shape[0], -1).astype(jnp.float32)
+            flat = nn.LayerNorm(name="flatten_ln")(flat)
+            pooled = jnp.concatenate([pooled, flat], axis=-1)
+        # zero kernel + identity bias: the untrained head outputs EXACTLY the
+        # identity update, so training starts at the identity floor with
+        # clean linear-readout dynamics (with lecun init the raw flattened
+        # features put O(1) noise on the pose outputs — measured loss 3.9 /
+        # grad_norm 106 at step 0 on the flatten arms)
         out = nn.Dense(
             self.cfg.pose_dim,
             dtype=jnp.float32,
+            kernel_init=nn.initializers.zeros,
             bias_init=_identity_pose_bias(self.cfg.pose_dim),
             name="pose_fc",
         )(pooled)

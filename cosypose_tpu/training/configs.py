@@ -124,12 +124,15 @@ def make_cfg(config_name: str, debug: bool = False) -> RunConfig:
             backbone="corrnet" if "-corr" in config_name else "wide-resnet18",
             render_size=(120, 160),
             compute_dtype=jnp.bfloat16,
-            pooling="gap" if "-gap" in config_name else "gap+moments",
+            pooling=("gap" if "-gap" in config_name else
+                     "gap+moments+flatten" if "-flat" in config_name else
+                     "gap+moments"),
             input_mode=("obs+render" if "-nodiff" in config_name
                         else "obs+render+diff"),
         )
         lr = 1e-3
         aux = None
+        lever = 0.05
         n_epochs = None
         n_iterations = 1
         # "-rot" arm: the reference's full SE(3) refiner noise (±15° euler,
@@ -146,6 +149,11 @@ def make_cfg(config_name: str, debug: bool = False) -> RunConfig:
                 n_epochs = int(part[2:])
             elif part.startswith("it"):
                 n_iterations = int(part[2:])
+            elif part.startswith("lev"):
+                # aux rot lever arm (meters-equivalent weight on the dR
+                # residual). The principled default 0.05 puts a ~30x smaller
+                # gradient on the rot head than on z; larger levers equalize.
+                lever = float(part[3:])
             elif part == "rot":
                 rot_deg = 15.0
             elif part.startswith("rot"):
@@ -177,7 +185,7 @@ def make_cfg(config_name: str, debug: bool = False) -> RunConfig:
                    n_epochs_warmup=1, n_points_loss=600, lr=lr,
                    noise_euler_deg=noise_euler,
                    noise_trans=(0.01, 0.01, 0.03),
-                   aux_regression_weight=aux)
+                   aux_regression_weight=aux, aux_rot_lever_m=lever)
         ds = "procedural-solo" if "-solo" in config_name else "procedural-canon"
         cfg.train_ds_names = ((f"synthetic.{ds}.train", 1),)
         cfg.val_ds_names = ((f"synthetic.{ds}.val", 1),)
