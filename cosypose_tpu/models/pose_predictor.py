@@ -72,6 +72,20 @@ class PosePredictorConfig:
     # the budget costs HBM/binning only — but tiles holding MORE triangles
     # than the budget silently drop the highest ids. Dense meshes zoomed to
     # full-crop need budgets near their decimated face count.
+    head_init_scale: float = 0.0
+    # Pose-head kernel init. 0.0 = zero kernel (identity-output start, clean
+    # linear-readout dynamics — but the BACKBONE receives zero gradient until
+    # the head kernel grows, and the head only grows along directions where
+    # the *random-init* backbone features already correlate with the pose
+    # residual. Translation bootstraps (offset/scale are linearly readable
+    # from any conv features); ROTATION does not: measured on the ±15° SE(3)
+    # solo arm, loss_orn stays at the identity floor (0.0072) for 8 epochs to
+    # the 4th decimal while xy/z learn — the rot rows never receive gradient
+    # to create the features they need. A small variance_scaling(scale) init
+    # (output std ≈ sqrt(scale) on LayerNorm'd inputs) breaks the deadlock:
+    # the backbone gets rotation-flavored gradient from step 0 while the
+    # output stays a near-identity update (scale 0.01 → ~0.1 std ≈ a few
+    # degrees of rotation perturbation).
     remat: bool = True  # rematerialize backbone activations in training
     # (a 3-iteration scan of EfficientNet-B3 at 240x320 batch 32 otherwise
     # needs ~70 GB of HBM for stored activations; remat trades ~30% extra
@@ -148,24 +162,35 @@ class PoseNet(nn.Module):
             # keep the final spatial grid: GAP(+moments) statistics are
             # nearly ROTATION-blind — measured on the ±15° SE(3) refiner arm,
             # the rot head stays at the identity output (feature/residual
-            # correlation ≈ 0) while xy/z learn; the flattened grid exposes
-            # orientation directly. ~h·w·C extra head inputs (4·5·512 ≈ 10k
-            # for wide-resnet18 at 120x160) — negligible params, no FLOPs.
-            # LayerNorm controls the raw-activation scale so the linear head
-            # sees O(1) inputs (raw backbone activations vary over ~2 orders
-            # of magnitude across training, which destabilized the probe arm).
-            flat = feats.reshape(feats.shape[0], -1).astype(jnp.float32)
-            flat = nn.LayerNorm(name="flatten_ln")(flat)
-            pooled = jnp.concatenate([pooled, flat], axis=-1)
+            # correlation ≈ 0) while xy/z learn; a spatially-indexed readout
+            # exposes orientation directly. The grid goes through a 1x1 conv
+            # to 16 channels BEFORE flattening: a raw h·w·C flatten (~10k
+            # dims) makes the zero-init head a 10k-wide Adam layer whose
+            # outputs drift ~lr·sqrt(D) per step — measured grad_norm 41→128
+            # in two epochs on the ±15° SE(3) arm. 16·h·w (~320) keeps the
+            # drift at the scale the moments arms already train at, and the
+            # conv learns which channels carry orientation.
+            red = nn.Conv(16, (1, 1), dtype=jnp.float32,
+                          name="flatten_reduce")(feats.astype(jnp.float32))
+            red = red.reshape(red.shape[0], -1)
+            red = nn.LayerNorm(name="flatten_ln")(red)
+            pooled = jnp.concatenate([pooled, red], axis=-1)
         # zero kernel + identity bias: the untrained head outputs EXACTLY the
         # identity update, so training starts at the identity floor with
         # clean linear-readout dynamics (with lecun init the raw flattened
         # features put O(1) noise on the pose outputs — measured loss 3.9 /
         # grad_norm 106 at step 0 on the flatten arms)
+        kernel_init = (
+            nn.initializers.variance_scaling(
+                self.cfg.head_init_scale, "fan_in", "truncated_normal"
+            )
+            if self.cfg.head_init_scale > 0.0
+            else nn.initializers.zeros
+        )
         out = nn.Dense(
             self.cfg.pose_dim,
             dtype=jnp.float32,
-            kernel_init=nn.initializers.zeros,
+            kernel_init=kernel_init,
             bias_init=_identity_pose_bias(self.cfg.pose_dim),
             name="pose_fc",
         )(pooled)

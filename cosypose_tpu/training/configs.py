@@ -158,6 +158,12 @@ def make_cfg(config_name: str, debug: bool = False) -> RunConfig:
                 rot_deg = 15.0
             elif part.startswith("rot"):
                 rot_deg = float(part[3:])
+            elif part.startswith("hi"):
+                # pose-head kernel init scale (0 = zero-init identity start;
+                # >0 breaks the rotation-gradient deadlock — see
+                # PosePredictorConfig.head_init_scale)
+                mini = dataclasses.replace(
+                    mini, head_init_scale=float(part[2:]))
             elif part == "b3":
                 # backbone-parity arm: the B3 flagship backbone at the same
                 # budget/data as the WRN18 arm — the accuracy half of the
