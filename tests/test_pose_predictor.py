@@ -104,3 +104,33 @@ def test_pose_predictor_train_mode_grads():
     assert float(jnp.abs(g_head).sum()) > 0
     # batch stats were updated
     assert "batch_stats" in outs
+
+
+def test_head_init_scale_near_identity_start():
+    """head_init_scale>0 must produce a nonzero pose_fc kernel (so the
+    backbone receives gradient from step 0 — the rotation-learning deadlock
+    fix) while keeping the untrained output a NEAR-identity update."""
+    import dataclasses
+
+    from cosypose_tpu.models.pose_predictor import PoseNet
+
+    cfg = dataclasses.replace(
+        small_cfg(), head_init_scale=0.01, pooling="gap+moments+flatten"
+    )
+    net = PoseNet(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 48, 64, 6))
+    variables = net.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    kernel = variables["params"]["pose_fc"]["kernel"]
+    assert float(jnp.abs(kernel).max()) > 0.0
+    out = net.apply(variables, x, train=False)
+    # near-identity: rot6d close to (1,0,0,0,1,0), v close to (0,0,1)
+    ident = jnp.array([1, 0, 0, 0, 1, 0, 0, 0, 1], jnp.float32)
+    dev = jnp.abs(out - ident).max()
+    assert 0.0 < float(dev) < 0.5, float(dev)
+
+    # zero scale keeps the exact-identity contract
+    cfg0 = dataclasses.replace(cfg, head_init_scale=0.0)
+    net0 = PoseNet(cfg0)
+    v0 = net0.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out0 = net0.apply(v0, x, train=False)
+    np.testing.assert_allclose(np.asarray(out0), np.tile(ident, (4, 1)), atol=1e-6)
