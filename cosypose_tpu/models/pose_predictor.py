@@ -140,6 +140,55 @@ def _identity_pose_bias(pose_dim: int):
     return init
 
 
+def _lk_pyramid_stats(x_nhwc, levels=(2, 4, 8)):
+    """Pooled Lucas-Kanade/ESM alignment statistics of the obs/render pair.
+
+    The render-and-compare residual is, to first order in the pose error,
+    an optical-flow field between the render and the observation; classic
+    LK projects the image difference onto gradient×basis fields to read the
+    motion parameters linearly. Translation got this treatment via moment
+    pooling; this is the same trick for the REMAINING motion basis: per
+    channel and pyramid level, project diff = obs − rend onto
+    {gx, gy} × {1, X, Y} (affine flow basis — in-plane rotation lives in
+    the antisymmetric X·gy − Y·gx component, scale/z in the symmetric one,
+    out-of-plane rotation in the shears), normalized by the matching
+    diagonal Gauss-Newton energy so each statistic approximates the LK
+    parameter step. Multi-level because the ±15° refiner noise moves edge
+    pixels ~10-15 px — beyond single-level linearization range; level /8
+    brings it to ~1-2 px.
+
+    Motivation (measured): with GAP(+moments)(+flatten) pooling alone the
+    rot head NEVER escapes the identity output on generalizing data —
+    train loss_orn flat at the 0.0072 identity floor for 30 epochs while
+    xy/z learn — because no pooled statistic exposes orientation
+    misalignment linearly. Pure elementwise mults + means (VPU), fp32,
+    ~54 numbers: 6 basis projections × 3 channels × len(levels).
+    """
+    obs = x_nhwc[..., 0:3].astype(jnp.float32)
+    rend = x_nhwc[..., 3:6].astype(jnp.float32)
+    diff = obs - rend
+    stats = []
+    for lvl in levels:
+        if lvl > 1:
+            d = nn.avg_pool(diff, (lvl, lvl), strides=(lvl, lvl))
+            r = nn.avg_pool(rend, (lvl, lvl), strides=(lvl, lvl))
+        else:
+            d, r = diff, rend
+        # central differences (interior), normalized image coords in [-1,1]
+        gy = 0.5 * (r[:, 2:, 1:-1] - r[:, :-2, 1:-1])
+        gx = 0.5 * (r[:, 1:-1, 2:] - r[:, 1:-1, :-2])
+        d = d[:, 1:-1, 1:-1]
+        h, w = d.shape[1], d.shape[2]
+        Y = jnp.linspace(-1.0, 1.0, h)[None, :, None, None]
+        X = jnp.linspace(-1.0, 1.0, w)[None, None, :, None]
+        for g in (gx, gy):
+            for basis in (jnp.ones_like(X), X, Y):
+                b = (d * g * basis).mean(axis=(1, 2))          # (B, 3)
+                e = ((g * basis) ** 2).mean(axis=(1, 2))       # (B, 3)
+                stats.append(b * jax.lax.rsqrt(e + 1e-8))
+    return jnp.concatenate(stats, axis=-1)  # (B, 6·3·len(levels))
+
+
 class PoseNet(nn.Module):
     """Backbone + global average pool + linear pose head (fp32 head)."""
 
@@ -175,6 +224,10 @@ class PoseNet(nn.Module):
             red = red.reshape(red.shape[0], -1)
             red = nn.LayerNorm(name="flatten_ln")(red)
             pooled = jnp.concatenate([pooled, red], axis=-1)
+        if "lk" in parts:
+            lk = _lk_pyramid_stats(x_nhwc)
+            lk = nn.LayerNorm(name="lk_ln")(lk)
+            pooled = jnp.concatenate([pooled, lk], axis=-1)
         # zero kernel + identity bias: the untrained head outputs EXACTLY the
         # identity update, so training starts at the identity floor with
         # clean linear-readout dynamics (with lecun init the raw flattened

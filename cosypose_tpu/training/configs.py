@@ -126,7 +126,8 @@ def make_cfg(config_name: str, debug: bool = False) -> RunConfig:
             compute_dtype=jnp.bfloat16,
             pooling=("gap" if "-gap" in config_name else
                      "gap+moments+flatten" if "-flat" in config_name else
-                     "gap+moments"),
+                     "gap+moments")
+            + ("+lk" if "-lk" in config_name else ""),
             input_mode=("obs+render" if "-nodiff" in config_name
                         else "obs+render+diff"),
         )

@@ -172,7 +172,7 @@ def test_heldout_refinement_holds_under_render_lod():
     assert refined < 0.85 * init, (init, refined)
 
 
-_ROT_RUN = EXP_DIR / "procedural-diag-lr0.003-solo-rot-flat-lev0.25-hi0.01-ep40"
+_ROT_RUN = EXP_DIR / "procedural-diag-lr0.003-solo-rot-flat-lk-lev0.25-hi0.01-ep40"
 
 
 @pytest.mark.skipif(
@@ -188,7 +188,7 @@ def test_heldout_rotation_refinement():
     from cosypose_tpu.scripts.run_procedural_accuracy import main
 
     results = main([
-        "--run-id", "procedural-diag-lr0.003-solo-rot-flat-lev0.25-hi0.01-ep40",
+        "--run-id", "procedural-diag-lr0.003-solo-rot-flat-lk-lev0.25-hi0.01-ep40",
         "--n-frames", "48",
         "--n-iterations", "4",
     ])
@@ -206,7 +206,7 @@ def test_heldout_rotation_refinement():
 
 
 _DET_RUN = EXP_DIR / "detector-procedural-all"
-_COARSE_RUN = EXP_DIR / "procedural-diag-lr0.003-solo-coarse-flat-lev0.25-hi0.01"
+_COARSE_RUN = EXP_DIR / "procedural-diag-lr0.003-solo-coarse-flat-lk-lev0.25-hi0.01"
 
 
 @pytest.mark.skipif(
@@ -222,7 +222,7 @@ def test_coarse_recovers_rotation_from_box_init():
     from cosypose_tpu.scripts.run_procedural_accuracy import main
 
     results = main([
-        "--run-id", "procedural-diag-lr0.003-solo-coarse-flat-lev0.25-hi0.01",
+        "--run-id", "procedural-diag-lr0.003-solo-coarse-flat-lk-lev0.25-hi0.01",
         "--n-frames", "48",
         "--n-iterations", "2",
     ])
@@ -253,7 +253,7 @@ def test_composed_pipeline_bop19_ar():
         "--inference-ds", "synthetic.procedural-solo.val",
         "--n-frames", "24",
         "--detector", "detector-procedural-all",
-        "--coarse", "procedural-diag-lr0.003-solo-coarse-flat-lev0.25-hi0.01",
+        "--coarse", "procedural-diag-lr0.003-solo-coarse-flat-lk-lev0.25-hi0.01",
         "--refiner", "procedural-diag-lr0.003-solo",
     ])
     assert metrics is not None and "bop19_ar" in metrics, list(metrics or [])

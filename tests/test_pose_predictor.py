@@ -115,7 +115,7 @@ def test_head_init_scale_near_identity_start():
     from cosypose_tpu.models.pose_predictor import PoseNet
 
     cfg = dataclasses.replace(
-        small_cfg(), head_init_scale=0.01, pooling="gap+moments+flatten"
+        small_cfg(), head_init_scale=0.01, pooling="gap+moments+flatten+lk"
     )
     net = PoseNet(cfg)
     x = jax.random.normal(jax.random.PRNGKey(1), (4, 48, 64, 6))
