@@ -141,6 +141,13 @@ def make_object_dataset(ds_name: str, ds_root=None):
         from .procedural_objects import ProceduralObjectDataset
 
         return ProceduralObjectDataset()
+    if name == "procedural-tex":
+        # sine-textured variant: rotation-determining appearance (the
+        # two-tone set is rotationally near-ambiguous — see
+        # procedural_objects._vertex_colors_sine)
+        from .procedural_objects import ProceduralObjectDataset
+
+        return ProceduralObjectDataset(texture="sine")
     root = pathlib.Path(ds_root or LOCAL_DATA_DIR) / "bop_datasets"
     if "cad" in parts:
         subdir = "models_cad"

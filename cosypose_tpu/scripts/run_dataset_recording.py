@@ -67,6 +67,21 @@ CONFIGS = dict(
                                    place_mode="floating",
                                    p_cage=0.0,
                                ))},
+    # rotation-learnable solo tier: sine-textured objects whose appearance
+    # determines orientation (the two-tone solo objects are rotationally
+    # near-ambiguous — measured, see procedural_objects._vertex_colors_sine);
+    # the SE(3)-noise refiner arms train/evaluate here
+    **{"procedural-texsolo": dict(obj="procedural-tex", resolution=(240, 320),
+                                  focal=(530.0, 540.0), n_frames=8_000,
+                                  p_textured=0.0,
+                                  sampler_kwargs=dict(
+                                      camera_distance_interval=(0.45, 1.0),
+                                      n_objects_interval=(1, 2),
+                                      min_visible_pixels=150,
+                                      n_views_per_scene=10,
+                                      place_mode="floating",
+                                      p_cage=0.0,
+                                  ))},
 )
 
 
@@ -83,6 +98,8 @@ def _make_sampler(config: str, ds_root=None, texture_dir=None,
     cfg = CONFIGS[config]
     if cfg["obj"] == "procedural":
         obj_ds = ProceduralObjectDataset()
+    elif cfg["obj"] == "procedural-tex":
+        obj_ds = ProceduralObjectDataset(texture="sine")
     else:
         obj_ds = make_object_dataset(cfg["obj"], ds_root=ds_root)
     mesh_db = build_mesh_db(obj_ds.mesh_specs())

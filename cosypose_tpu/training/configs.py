@@ -193,10 +193,14 @@ def make_cfg(config_name: str, debug: bool = False) -> RunConfig:
                    noise_euler_deg=noise_euler,
                    noise_trans=(0.01, 0.01, 0.03),
                    aux_regression_weight=aux, aux_rot_lever_m=lever)
-        ds = "procedural-solo" if "-solo" in config_name else "procedural-canon"
+        ds = ("procedural-texsolo" if "-texsolo" in config_name else
+              "procedural-solo" if "-solo" in config_name else
+              "procedural-canon")
         cfg.train_ds_names = ((f"synthetic.{ds}.train", 1),)
         cfg.val_ds_names = ((f"synthetic.{ds}.val", 1),)
-        cfg.object_ds_name = "procedural"
+        # the texsolo tier records the sine-textured object set
+        cfg.object_ds_name = ("procedural-tex" if "-texsolo" in config_name
+                              else "procedural")
         cfg.input_resize = (120, 160)
         cfg.val_epoch_interval = 10
         # dense in-training eval-bundle curve (matched-AUC / per-pair ADD
