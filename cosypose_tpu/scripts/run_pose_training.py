@@ -39,9 +39,17 @@ def main():
     parser.add_argument("--ds-root", default=None)
     parser.add_argument("--no-eval-bundle", action="store_true",
                         help="skip the default in-training eval bundle")
+    parser.add_argument("--n-epochs", type=int, default=None,
+                        help="override the config's epoch budget (shorter "
+                             "regression-artifact trainings; the run dir "
+                             "records the override in config.yaml)")
     args = parser.parse_args()
 
     cfg = make_cfg(args.config, debug=args.debug)
+    if args.n_epochs is not None:
+        import dataclasses
+
+        cfg.train = dataclasses.replace(cfg.train, n_epochs=args.n_epochs)
 
     obj_ds = make_object_dataset(cfg.object_ds_name, ds_root=args.ds_root)
     mesh_db = build_mesh_db(obj_ds.mesh_specs())

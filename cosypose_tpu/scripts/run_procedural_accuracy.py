@@ -91,7 +91,15 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     cfg = make_cfg(args.config or args.run_id)
-    mesh_db = build_mesh_db(ProceduralObjectDataset().mesh_specs(),
+    # follow the config's object set (e.g. the sine-textured 'procedural-tex'
+    # set of the texsolo tier) so render-and-compare sees the same albedo
+    # field the arm was trained on
+    from ..data.datasets_cfg import make_object_dataset
+
+    obj_ds_name = getattr(cfg, "object_ds_name", "procedural")
+    obj_ds = (make_object_dataset(obj_ds_name) if obj_ds_name != "procedural"
+              else ProceduralObjectDataset())
+    mesh_db = build_mesh_db(obj_ds.mesh_specs(),
                             render_max_faces=args.render_lod)
 
     ckpt = latest_checkpoint(EXP_DIR / args.run_id)

@@ -48,12 +48,7 @@ sync_results() {
     cp -v local_data/results/roofline/*.json results/roofline/ 2>/dev/null || true
 }
 
-# ---- 1. rotation arm: head_init_scale escape (VERDICT r3 #2a) ----------------
-train_resumable "$TRAIN" "$ROT_ARM"
-retry $ACC --run-id "$ROT_ARM" --n-frames 150 --n-iterations 4
-sync_results
-
-# ---- 2. coarse arm: rotation from the ~120deg z-up box init (VERDICT #2b) ---
+# ---- 1. coarse arm: rotation from the ~120deg z-up box init (VERDICT #2b) ---
 train_resumable "$TRAIN" "$COARSE_ARM"
 retry $ACC --run-id "$COARSE_ARM" --n-frames 150 --n-iterations 2
 sync_results
