@@ -272,7 +272,10 @@ def test_composed_pipeline_bop19_ar():
     assert metrics is not None and "bop19_ar" in metrics, list(metrics or [])
     ar = metrics["bop19_ar"]
     assert ar["n_gt"] > 0
-    # the composed stack must produce real (non-degenerate) recall; the
-    # measured full-run value lands in results/bop-procedural/ — this floor
-    # only guards against silent pipeline breakage
-    assert 0.05 < ar["AR"] <= 1.0, ar
+    # full-run measured value (400 frames, tracked artifact
+    # results/bop-procedural/metrics-synthetic_procedural-solo_val.json):
+    # AR = 0.1612. This 24-frame subset gets a wider slack (-35%) than the
+    # refinement regressions' -15% to absorb frame-subset variance on top of
+    # retrain variance; it still pins the measured capability, not just
+    # pipeline liveness.
+    assert 0.105 < ar["AR"] <= 1.0, ar
