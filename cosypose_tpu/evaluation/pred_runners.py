@@ -285,7 +285,7 @@ class DetectionRunner:
         self.batch_size = batch_size
 
     def get_predictions(self, detector, detection_th=0.0, output_masks=False,
-                        mask_th=0.5):
+                        mask_th=0.05):
         preds = []
         n = len(self.ds)
         bsz = self.batch_size

@@ -133,6 +133,11 @@ def main(argv=None):
     parser.add_argument("--detection-th", type=float, default=0.3)
     parser.add_argument("--ds-root", default=None)
     parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--out-dir", default=None,
+                        help="override the results directory (default "
+                             "RESULTS_DIR/bop-<ds>; tests point this at a "
+                             "tmp dir so gated subset runs never overwrite "
+                             "the tracked full-run artifacts)")
     args = parser.parse_args(argv)
 
     ds = args.dataset
@@ -189,7 +194,8 @@ def main(argv=None):
         detection_th=args.detection_th,
     )
 
-    out_dir = pathlib.Path(RESULTS_DIR) / f"bop-{ds}"
+    out_dir = (pathlib.Path(args.out_dir) if args.out_dir
+               else pathlib.Path(RESULTS_DIR) / f"bop-{ds}")
     out_dir.mkdir(parents=True, exist_ok=True)
     csv_paths = {}
     for key, tc in preds.items():

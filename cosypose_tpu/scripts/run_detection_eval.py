@@ -83,10 +83,11 @@ def main(argv=None):
     parser.add_argument("--masks", action="store_true",
                         help="also report mask AP/mAP (COCO-segm-style "
                              "matching over the YOLACT mask head output)")
-    parser.add_argument("--mask-th", type=float, default=0.5,
-                        help="mask binarization threshold (the BCE-trained "
-                             "probabilities hedge low on background-dominated "
-                             "grids; sweep when calibrating)")
+    parser.add_argument("--mask-th", type=float, default=0.05,
+                        help="mask binarization threshold; default calibrated "
+                             "by sweep (integrated/detector.py decode notes): "
+                             "the BCE-trained probabilities hedge low on "
+                             "background-dominated grids")
     parser.add_argument("--n-frames", type=int, default=None)
     parser.add_argument("--nms-iou", type=float, default=0.5,
                         help="same-class greedy box NMS on the decoded "

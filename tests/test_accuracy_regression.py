@@ -103,13 +103,14 @@ def test_refiner_can_beat_identity_floor():
     not (_DS.exists() and (_RUN / "checkpoint").exists()),
     reason="needs recorded procedural-canon + trained procedural-refiner-mini",
 )
-def test_accuracy_eval_pipeline():
+def test_accuracy_eval_pipeline(tmp_path):
     from cosypose_tpu.scripts.run_procedural_accuracy import main
 
     results = main([
         "--run-id", "procedural-refiner-mini",
         "--n-frames", "20",
         "--n-iterations", "2",
+        "--out", str(tmp_path / "acc.json"),
     ])
     for name in ("init", "refined"):
         s = results["matched_auc"][name]
@@ -132,7 +133,7 @@ _SOLO_RUN = EXP_DIR / "procedural-diag-lr0.003-solo"
     not (_SOLO_DS.exists() and (_SOLO_RUN / "checkpoint").exists()),
     reason="needs recorded procedural-solo + trained solo refiner",
 )
-def test_heldout_refinement_improves_median_ADD():
+def test_heldout_refinement_improves_median_ADD(tmp_path):
     """The headline capability regression (VERDICT r2 #1): the shipped
     solo-tier refiner must improve held-out per-pair median ADD by a clear
     margin after one iteration. Round-3 measurement: 25.5mm -> 16.5mm
@@ -143,6 +144,7 @@ def test_heldout_refinement_improves_median_ADD():
         "--run-id", "procedural-diag-lr0.003-solo",
         "--n-frames", "48",
         "--n-iterations", "1",
+        "--out", str(tmp_path / "acc.json"),
     ])
     init = results["per_pair"]["init"]["ADD_median"]
     refined = results["per_pair"]["iteration=1"]["ADD_median"]
@@ -153,7 +155,7 @@ def test_heldout_refinement_improves_median_ADD():
     not (_SOLO_DS.exists() and (_SOLO_RUN / "checkpoint").exists()),
     reason="needs recorded procedural-solo + trained solo refiner",
 )
-def test_heldout_refinement_holds_under_render_lod():
+def test_heldout_refinement_holds_under_render_lod(tmp_path):
     """Render-geometry LOD (mesh_db render_max_faces, the production inference
     setting bench.py ships with) must not cost refinement quality: the same
     shipped checkpoint evaluated with LOD-512 renders has to hit the same
@@ -166,6 +168,7 @@ def test_heldout_refinement_holds_under_render_lod():
         "--n-frames", "48",
         "--n-iterations", "1",
         "--render-lod", "512",
+        "--out", str(tmp_path / "acc.json"),
     ])
     init = results["per_pair"]["init"]["ADD_median"]
     refined = results["per_pair"]["iteration=1"]["ADD_median"]
@@ -179,7 +182,7 @@ _ROT_RUN = EXP_DIR / "procedural-diag-lr0.003-texsolo-rot-flat-lk-lev0.25-hi0.01
     not (_SOLO_DS.exists() and (_ROT_RUN / "checkpoint").exists()),
     reason="needs recorded procedural-solo + trained rot-noise refiner",
 )
-def test_heldout_rotation_refinement():
+def test_heldout_rotation_refinement(tmp_path):
     """Rotation refinement (VERDICT r3 #2a): a refiner trained with the
     reference's full SE(3) noise (±15° euler — ref pose_forward_loss.py:36-40)
     must cut held-out rot_deg_median by a clear margin over the composed
@@ -196,6 +199,7 @@ def test_heldout_rotation_refinement():
         "--run-id", "procedural-diag-lr0.003-texsolo-rot-flat-lk-lev0.25-hi0.01-ep20",
         "--n-frames", "48",
         "--n-iterations", "4",
+        "--out", str(tmp_path / "acc.json"),
     ])
     init = results["per_pair"]["init"]["rot_deg_median"]
     assert init > 5.0, f"init rot error degenerate ({init:.2f}deg): " \
@@ -218,7 +222,7 @@ _COARSE_RUN = EXP_DIR / "procedural-diag-lr0.003-solo-coarse-flat-lev0.25-hi0.01
     not (_SOLO_DS.exists() and (_COARSE_RUN / "checkpoint").exists()),
     reason="needs recorded procedural-solo + trained coarse model",
 )
-def test_coarse_recovers_rotation_from_box_init():
+def test_coarse_recovers_rotation_from_box_init(tmp_path):
     """Coarse-stage rotation recovery (VERDICT r3 #2b): from the pipeline's
     z-up box init (~120° off, ref lib3d/cosypose_ops.py:138-173 'fixed'
     generator) the trained coarse model must move rotation decisively
@@ -234,6 +238,7 @@ def test_coarse_recovers_rotation_from_box_init():
         "--run-id", "procedural-diag-lr0.003-solo-coarse-flat-lev0.25-hi0.01",
         "--n-frames", "48",
         "--n-iterations", "2",
+        "--out", str(tmp_path / "acc.json"),
     ])
     init = results["per_pair"]["init"]["rot_deg_median"]
     assert init > 90.0, f"box init should start ~120deg off, got {init:.1f}"
@@ -253,7 +258,7 @@ def test_coarse_recovers_rotation_from_box_init():
          and (_DET_RUN / "checkpoint").exists()),
     reason="needs recorded procedural-solo + trained detector/coarse/refiner",
 )
-def test_composed_pipeline_bop19_ar():
+def test_composed_pipeline_bop19_ar(tmp_path):
     """The full composed pipeline (VERDICT r2 missing #2): trained detector
     → box-seeded coarse → refiner over held-out recorded scenes, scored with
     the native BOP19 AR protocol (VSD over recorded depth + MSSD/MSPD) —
@@ -268,6 +273,7 @@ def test_composed_pipeline_bop19_ar():
         "--detector", "detector-procedural-all",
         "--coarse", "procedural-diag-lr0.003-solo-coarse-flat-lev0.25-hi0.01",
         "--refiner", "procedural-diag-lr0.003-solo",
+        "--out-dir", str(tmp_path),
     ])
     assert metrics is not None and "bop19_ar" in metrics, list(metrics or [])
     ar = metrics["bop19_ar"]
