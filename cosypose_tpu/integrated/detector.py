@@ -22,7 +22,8 @@ from ..utils.tensor_collection import PandasTensorCollection
 
 class Detector:
     def __init__(self, model: CenterNetDetector, variables: dict,
-                 label_to_category_id: dict, nms_iou: float | None = 0.5):
+                 label_to_category_id: dict, nms_iou: float | None = 0.5,
+                 nms_cross_iou: float | None = None):
         """nms_iou: same-class greedy box NMS on the decoded top-k (the
         capability match for torchvision MaskRCNN's batched_nms in the
         reference detector); None/0 disables it."""
@@ -36,7 +37,8 @@ class Detector:
         def fwd(variables, images_nhwc):
             outputs = model.apply(variables, images_nhwc, train=False)
             return decode_detections(outputs, cfg.max_detections,
-                                     nms_iou=nms_iou)
+                                     nms_iou=nms_iou,
+                                     nms_cross_iou=nms_cross_iou)
 
         self._fwd = jax.jit(fwd)
 

@@ -107,7 +107,7 @@ class CenterNetDetector(nn.Module):
         return {k: v[:, :Hm, :Wm] for k, v in outputs.items()}
 
 
-def _nms_keep(boxes, cls, valid, iou_th):
+def _nms_keep(boxes, cls, valid, iou_th, cross_iou_th=None):
     """Greedy same-class NMS over score-DESCENDING boxes (fixed shape).
 
     boxes (K, 4) xyxy sorted by score desc (lax.top_k order), cls (K,) int,
@@ -118,6 +118,17 @@ def _nms_keep(boxes, cls, valid, iou_th):
     larger than 12 input pixels, and duplicates rank as false positives in
     AP. K is small (<=64) so the O(K^2) IoU matrix + K-step scan is cheap
     and shape-static.
+
+    cross_iou_th adds a class-AGNOSTIC tier (default OFF — measured dead
+    end): one heatmap peak often fires several class channels, emitting
+    near-identical boxes that differ only in class id. Suppressing them
+    looked like an AP win, but measured the opposite (4k-val bbox recall
+    0.981 -> 0.288 at 0.9, mAP 0.483 -> 0.220): the top-scoring class at a
+    peak is frequently the WRONG one, and the per-label matching protocol
+    can only match a GT to a detection of its own class — the multi-class
+    hypotheses are what carry recall. MaskRCNN avoids the issue with a
+    per-roi softmax classifier; the CenterNet heatmap's per-class channels
+    are independent sigmoids with no such exclusivity.
     """
     K = boxes.shape[0]
     x1, y1, x2, y2 = (boxes[:, i] for i in range(4))
@@ -132,6 +143,8 @@ def _nms_keep(boxes, cls, valid, iou_th):
     )
     iou = inter / jnp.maximum(area[:, None] + area[None, :] - inter, 1e-9)
     suppresses = (iou > iou_th) & (cls[:, None] == cls[None, :])
+    if cross_iou_th is not None:
+        suppresses = suppresses | (iou > cross_iou_th)
     idx = jnp.arange(K)
 
     def body(keep, i):
@@ -144,7 +157,8 @@ def _nms_keep(boxes, cls, valid, iou_th):
 
 
 def decode_detections(outputs: dict, max_detections: int, stride: int = 4,
-                      nms_iou: float | None = 0.5):
+                      nms_iou: float | None = 0.5,
+                      nms_cross_iou: float | None = None):
     """Heatmap → fixed-size top-k detections (jit-friendly).
 
     Returns dict of (B, max_detections) arrays: scores, class_ids, and
@@ -187,8 +201,8 @@ def decode_detections(outputs: dict, max_detections: int, stride: int = 4,
     mask_logits = jnp.einsum("bkp,bhwp->bkhw", coeffs, protos)
 
     if nms_iou:
-        keep = jax.vmap(_nms_keep, in_axes=(0, 0, 0, None))(
-            boxes, cls, scores > 0.0, nms_iou
+        keep = jax.vmap(_nms_keep, in_axes=(0, 0, 0, None, None))(
+            boxes, cls, scores > 0.0, nms_iou, nms_cross_iou
         )
         scores = jnp.where(keep, scores, 0.0)
 

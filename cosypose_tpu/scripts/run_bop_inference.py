@@ -100,7 +100,8 @@ def load_reference_torch_checkpoint(path, mesh_db, init_method="v0"):
     return LoadedPoseModel(pp, variables, mesh_db, init_method=init_method)
 
 
-def load_detector(run_id, label_to_category_id, exp_dir=None, nms_iou=0.5):
+def load_detector(run_id, label_to_category_id, exp_dir=None, nms_iou=0.5,
+                  nms_cross_iou=None):
     ckpt = latest_checkpoint(pathlib.Path(exp_dir or EXP_DIR) / run_id)
     assert ckpt is not None, f"no checkpoint for run {run_id}"
     payload = load_checkpoint(ckpt)
@@ -109,7 +110,8 @@ def load_detector(run_id, label_to_category_id, exp_dir=None, nms_iou=0.5):
     )
     variables = {"params": payload["params"],
                  "batch_stats": payload["batch_stats"]}
-    return Detector(model, variables, label_to_category_id, nms_iou=nms_iou)
+    return Detector(model, variables, label_to_category_id, nms_iou=nms_iou,
+                    nms_cross_iou=nms_cross_iou)
 
 
 def main(argv=None):

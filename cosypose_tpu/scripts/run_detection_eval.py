@@ -89,6 +89,11 @@ def main(argv=None):
                              "the BCE-trained probabilities hedge low on "
                              "background-dominated grids")
     parser.add_argument("--n-frames", type=int, default=None)
+    parser.add_argument("--nms-cross-iou", type=float, default=0.0,
+                        help="class-agnostic duplicate suppression threshold; "
+                             "default OFF — measured dead end, see "
+                             "models/detector.py:_nms_keep notes (multi-class "
+                             "hypotheses per peak carry recall)")
     parser.add_argument("--nms-iou", type=float, default=0.5,
                         help="same-class greedy box NMS on the decoded "
                              "top-k (0 disables)")
@@ -110,7 +115,8 @@ def main(argv=None):
     else:
         labels = {l: i for i, l in enumerate(obj_ds.labels)}
 
-    detector = load_detector(args.detector, labels, nms_iou=args.nms_iou)
+    detector = load_detector(args.detector, labels, nms_iou=args.nms_iou,
+                             nms_cross_iou=args.nms_cross_iou or None)
     runner = DetectionRunner(scene_ds)
     preds = runner.get_predictions(detector, detection_th=args.detection_th,
                                    output_masks=args.masks,
