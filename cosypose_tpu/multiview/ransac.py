@@ -101,6 +101,26 @@ def _score_tmatches_kernel(TC1Oa, TC2Ob, TC1C2, points, syms, sym_valid):
     return d
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _score_tmatches_gather_kernel(poses, TC1C2, points, syms, sym_valid,
+                                  label_ids, c1, c2, hyp):
+    """Device-side gather + scoring of one index chunk.
+
+    The hypothesis×match cross product is huge at protocol scale (8 views /
+    2000 hypotheses → 44.8M rows); gathering its per-row pose/point/symmetry
+    payloads on host and shipping them to the device moves ~16 GB through
+    the ~20 MB/s tunnel (measured hang in bench_multiview). Shipping only
+    the three int32 index columns and gathering from the small base tables
+    ON DEVICE cuts the transfer ~30x (the indices + returned distances)."""
+    TC1Oa = poses[c1]
+    TC2Ob = poses[c2]
+    lab = label_ids[c1]
+    TWOb = jnp.einsum("nij,njk->nik", TC1C2[hyp], TC2Ob,
+                      precision=jax.lax.Precision.HIGHEST)
+    d, _ = _sym_dist(TC1Oa, TWOb, points[lab], syms[lab], sym_valid[lab])
+    return d
+
+
 def _pad_rows(arr, n):
     pad = n - arr.shape[0]
     if pad == 0:
@@ -139,26 +159,43 @@ def estimate_camera_poses_batch(candidates, seeds, mesh_db, chunk=2048):
     return np.asarray(TC1C2)[:n]
 
 
-def score_tmatches_batch(candidates, tmatches, TC1C2, mesh_db, chunk=8192):
-    poses = np.asarray(candidates.poses)
-    label_ids = np.asarray(mesh_db.ids_for(candidates.infos["label"].values))
-    syms = np.asarray(mesh_db.symmetries)
-    sym_valid = np.asarray(mesh_db.sym_valid)
-    points = np.asarray(mesh_db.points)
+def score_tmatches_batch(candidates, tmatches, TC1C2, mesh_db, chunk=None):
+    """Score all (hypothesis, tentative-match) rows.
+
+    Base tables (candidate poses, hypothesis poses, per-label points +
+    symmetries) go to the device ONCE; the row indices stream in fixed-size
+    chunks through one compiled kernel (power-of-two padded tail). The chunk
+    is sized so the gathered (chunk, S, P, 3) intermediates stay ~100 MB on
+    device regardless of the symmetry/point budget."""
+    poses = jnp.asarray(np.asarray(candidates.poses))
+    label_ids = jnp.asarray(
+        np.asarray(mesh_db.ids_for(candidates.infos["label"].values),
+                   np.int32))
+    syms = jnp.asarray(np.asarray(mesh_db.symmetries))
+    sym_valid = jnp.asarray(np.asarray(mesh_db.sym_valid))
+    points = jnp.asarray(np.asarray(mesh_db.points))
+    TC1C2_dev = jnp.asarray(TC1C2)
 
     n = len(tmatches["cand1"])
-    nb = _bucket(n, chunk)
-    c1 = _pad_rows(tmatches["cand1"], nb)
-    c2 = _pad_rows(tmatches["cand2"], nb)
-    hyp = _pad_rows(tmatches["hypothesis_id"], nb)
-    lab = label_ids[c1]
-    dists = _score_tmatches_kernel(
-        jnp.asarray(poses[c1]), jnp.asarray(poses[c2]),
-        jnp.asarray(TC1C2[hyp]),
-        jnp.asarray(points[lab]), jnp.asarray(syms[lab]),
-        jnp.asarray(sym_valid[lab]),
-    )
-    return np.asarray(dists)[:n]
+    if chunk is None:
+        S, P = syms.shape[1], points.shape[1]
+        chunk = max(2 ** 15, min(2 ** 20, 2 ** 23 // max(S * P, 1)))
+    c1 = np.ascontiguousarray(tmatches["cand1"], np.int32)
+    c2 = np.ascontiguousarray(tmatches["cand2"], np.int32)
+    hyp = np.ascontiguousarray(tmatches["hypothesis_id"], np.int32)
+
+    out = np.empty(n, np.float32)
+    for start in range(0, n, chunk):
+        stop = min(start + chunk, n)
+        nb = _bucket(stop - start, min(chunk, 2 ** 15))
+        d = _score_tmatches_gather_kernel(
+            poses, TC1C2_dev, points, syms, sym_valid, label_ids,
+            jnp.asarray(_pad_rows(c1[start:stop], nb)),
+            jnp.asarray(_pad_rows(c2[start:stop], nb)),
+            jnp.asarray(_pad_rows(hyp[start:stop], nb)),
+        )
+        out[start:stop] = np.asarray(d)[: stop - start]
+    return out
 
 
 def scene_level_matching(candidates, inliers):

@@ -73,6 +73,20 @@ timeout 1200 python -m cosypose_tpu.scripts.run_procedural_accuracy \
     --run-id "$B3_ARM" --n-frames 150 --n-iterations 4
 sync_results
 
+# ---- 3b. protocol multiview bench (device-gather scorer fix) -----------------
+step "protocol multiview bench (retry with device-gather scorer)"
+timeout 1800 python -m cosypose_tpu.scripts.bench_multiview \
+    --n-views 8 --n-objects 12 --ransac-iter 2000 \
+    --json local_data/results/bench-multiview-protocol.json
+sync_results
+
+# ---- 3c. roofline b3-b128 re-run (first run polluted by concurrent host CPU
+#          load starving the tunnel client) -----------------------------------
+step "roofline b3-b128 (clean re-run)"
+timeout 900 python -m cosypose_tpu.scripts.bench_stages --batch 128 \
+    --backbone efficientnet-b3 --json local_data/results/roofline/b3-b128.json || true
+sync_results
+
 # ---- 4. README re-render -------------------------------------------------------
 step "README re-render"
 python -m cosypose_tpu.scripts.render_readme_tables || true
