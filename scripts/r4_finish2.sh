@@ -85,6 +85,12 @@ sync_results
 step "roofline b3-b128 (clean re-run)"
 timeout 900 python -m cosypose_tpu.scripts.bench_stages --batch 128 \
     --backbone efficientnet-b3 --json local_data/results/roofline/b3-b128.json || true
+step "roofline b3-b128-lod512 (production render geometry)"
+timeout 900 python -m cosypose_tpu.scripts.bench_stages --batch 128 --render-lod 512 \
+    --backbone efficientnet-b3 --json local_data/results/roofline/b3-b128-lod512.json || true
+step "roofline wrn18-b128-lod512"
+timeout 900 python -m cosypose_tpu.scripts.bench_stages --batch 128 --render-lod 512 \
+    --backbone wide-resnet18 --json local_data/results/roofline/wrn18-b128-lod512.json || true
 sync_results
 
 # ---- 4. README re-render -------------------------------------------------------
