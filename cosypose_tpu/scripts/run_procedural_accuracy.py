@@ -179,6 +179,8 @@ def main(argv=None):
 
         from ..visualization.singleview import render_prediction_overlay
 
+        from ..ops.camera import project_points
+
         odir = pathlib.Path(args.save_overlays)
         odir.mkdir(parents=True, exist_ok=True)
         for n in range(min(args.n_overlays, len(gt_infos))):
@@ -190,7 +192,25 @@ def main(argv=None):
                     mesh_db, rgb, poses[n], K[im_id],
                     str(gt_infos["label"].values[n])
                 ))
-            Image.fromarray(np.concatenate(panels, axis=1)).save(
+            # zoom each panel to a square crop around the object (GT
+            # projection, 2x margin) so the pose/rotation change is legible
+            # at doc scale; full frames leave a ~30 px object unreadable
+            lab_id = mesh_db.ids_for([str(gt_infos["label"].values[n])])[0]
+            pts = np.asarray(mesh_db.points[lab_id])
+            uv = np.asarray(project_points(
+                jnp.asarray(pts)[None], jnp.asarray(K[im_id])[None],
+                jnp.asarray(TCO_gt[n])[None]))[0]
+            H, W = rgb.shape[:2]
+            cx, cy = float(uv[:, 0].mean()), float(uv[:, 1].mean())
+            half = 2.0 * max(np.ptp(uv[:, 0]), np.ptp(uv[:, 1]), 16.0) / 2
+            x0 = int(np.clip(cx - half, 0, W - 1))
+            x1 = int(np.clip(cx + half, x0 + 8, W))
+            y0 = int(np.clip(cy - half, 0, H - 1))
+            y1 = int(np.clip(cy + half, y0 + 8, H))
+            zoom = [p[y0:y1, x0:x1] for p in panels]
+            up = max(1, int(round(160 / max(y1 - y0, 1))))
+            zoom = [np.kron(z, np.ones((up, up, 1), np.uint8)) for z in zoom]
+            Image.fromarray(np.concatenate(zoom, axis=1).astype(np.uint8)).save(
                 odir / f"refinement_{n:02d}.png")
         logger.info(f"wrote {min(args.n_overlays, len(gt_infos))} overlay "
                     f"panels (input|init|refined) to {odir}")
