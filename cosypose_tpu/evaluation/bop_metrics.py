@@ -175,6 +175,12 @@ class BopAverageRecall:
             e = np.asarray(errors[t], np.float64)
             if e.ndim == 2:
                 e = e[..., None]
+            # a mask whose length differs from the GT dimension would
+            # silently skew n_gt and per-column validity downstream
+            assert e.shape[1] == gt_valid.shape[0], (
+                f"{t}: error matrix has {e.shape[1]} GT columns but gt_valid "
+                f"has {gt_valid.shape[0]}"
+            )
             self.groups[t].append(
                 (e, np.asarray(scores, np.float64), gt_valid))
 

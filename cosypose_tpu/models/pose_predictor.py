@@ -86,6 +86,11 @@ class PosePredictorConfig:
     # the backbone gets rotation-flavored gradient from step 0 while the
     # output stays a near-identity update (scale 0.01 → ~0.1 std ≈ a few
     # degrees of rotation perturbation).
+    drop_connect_rate: float = 0.2
+    # EfficientNet stochastic-depth rate (ref efficientnet_utils defaults);
+    # 0.0 disables residual-branch dropout — a lever for the B3
+    # learning-dynamics study (the per-block drop noise can pin a deep
+    # backbone to the identity basin at small sample budgets).
     remat: bool = True  # rematerialize backbone activations in training
     # (a 3-iteration scan of EfficientNet-B3 at 240x320 batch 32 otherwise
     # needs ~70 GB of HBM for stored activations; remat trades ~30% extra
@@ -98,8 +103,15 @@ def make_backbone(cfg: PosePredictorConfig):
         # optional depthwise-lowering selector for the roofline experiments:
         # "efficientnet-b3+dwdense" / "+dwshift" (models/efficientnet.py)
         variant, _, dw = cfg.backbone.partition("+dw")
+        dw_impl = dw or "conv"
+        # a typo'd suffix (e.g. '+dwdens') would otherwise silently fall
+        # through to the default grouped conv and measure the wrong lowering
+        assert dw_impl in ("conv", "shift", "dense"), (
+            f"unknown depthwise lowering {dw_impl!r} in {cfg.backbone!r}"
+        )
         bb = EfficientNet(variant=variant, in_channels=n_ch,
-                          dtype=cfg.compute_dtype, dw_impl=dw or "conv")
+                          dtype=cfg.compute_dtype, dw_impl=dw_impl,
+                          drop_connect_rate=cfg.drop_connect_rate)
         return bb, bb.n_features
     if "resnet34" in cfg.backbone:
         bb = WideResNet34(dtype=cfg.compute_dtype)

@@ -102,12 +102,25 @@ def load_reference_torch_checkpoint(path, mesh_db, init_method="v0"):
 
 def load_detector(run_id, label_to_category_id, exp_dir=None, nms_iou=0.5,
                   nms_cross_iou=None):
-    ckpt = latest_checkpoint(pathlib.Path(exp_dir or EXP_DIR) / run_id)
+    import dataclasses as _dc
+    import json
+
+    run_dir = pathlib.Path(exp_dir or EXP_DIR) / run_id
+    ckpt = latest_checkpoint(run_dir)
     assert ckpt is not None, f"no checkpoint for run {run_id}"
     payload = load_checkpoint(ckpt)
-    model = CenterNetDetector(
-        DetectorConfig(n_classes=len(label_to_category_id))
-    )
+    # rebuild the architecture from the run's saved config (cls_mode /
+    # n_mask_protos / backbone change the parameter tree — the same contract
+    # as load_pose_model above)
+    dcfg = DetectorConfig(n_classes=len(label_to_category_id))
+    cfg_file = run_dir / "config.yaml"
+    if cfg_file.exists():
+        raw = json.loads(cfg_file.read_text()).get("detector", {})
+        kw = {f.name: raw[f.name] for f in _dc.fields(DetectorConfig)
+              if f.name in raw and f.name != "compute_dtype"}
+        if kw:
+            dcfg = _dc.replace(dcfg, **kw)
+    model = CenterNetDetector(dcfg)
     variables = {"params": payload["params"],
                  "batch_stats": payload["batch_stats"]}
     return Detector(model, variables, label_to_category_id, nms_iou=nms_iou,
@@ -126,6 +139,12 @@ def main(argv=None):
     parser.add_argument("--inference-ds", default=None,
                         help="override the scene dataset name (e.g. "
                              "synthetic.procedural-solo.val)")
+    parser.add_argument("--object-ds", default=None,
+                        help="override the object set for --dataset "
+                             "procedural (e.g. 'procedural-tex' for the "
+                             "sine-textured tier; defaults to 'procedural', "
+                             "or 'procedural-tex' when --inference-ds "
+                             "contains 'texsolo')")
     parser.add_argument("--n-frames", type=int, default=None)
     parser.add_argument("--detector", default=None)
     parser.add_argument("--coarse", default=None)
@@ -144,13 +163,15 @@ def main(argv=None):
 
     ds = args.dataset
     if ds == "procedural":
-        from ..data.procedural_objects import ProceduralObjectDataset
+        from ..data.datasets_cfg import make_object_dataset
 
         inference_ds = args.inference_ds or "synthetic.procedural-4k.val"
         # depth enables the native VSD term of the BOP19 AR summary below
         scene_ds = make_scene_dataset(inference_ds, ds_root=args.ds_root,
                                       load_depth=True)
-        obj_ds = ProceduralObjectDataset()
+        obj_ds_name = args.object_ds or (
+            "procedural-tex" if "texsolo" in inference_ds else "procedural")
+        obj_ds = make_object_dataset(obj_ds_name)
         mesh_db = build_mesh_db(obj_ds.mesh_specs())
         labels = {l: i for i, l in enumerate(obj_ds.labels)}
         default_det, default_coarse, default_ref = (

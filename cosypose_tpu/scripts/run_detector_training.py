@@ -103,20 +103,32 @@ def main():
         obj_ds = ProceduralObjectDataset()
         label_to_cat = {l: i for i, l in enumerate(obj_ds.labels)}
         h, w = 240, 320
-        use_all = args.config == "detector-procedural-all"
+        use_all = args.config.startswith("detector-procedural-all")
+        # -all2: every tier incl. the sine-textured texsolo recording, the
+        # exclusive softmax classifier (DetectorConfig.cls_mode — the r4
+        # percls ranking analysis), and 32 mask prototypes (the queued r4
+        # mask-quality lever)
+        v2 = args.config == "detector-procedural-all2"
         tcfg = DetectorTrainConfig(
-            detector=DetectorConfig(n_classes=len(label_to_cat)),
+            detector=DetectorConfig(
+                n_classes=len(label_to_cat),
+                cls_mode="softmax" if v2 else "percls",
+                n_mask_protos=32 if v2 else 16,
+            ),
             batch_size=4 if args.debug else 16,
             epoch_size=32 if args.debug else 3200,
             n_epochs=2 if args.debug else (args.n_epochs or (90 if use_all
                                                              else 30)),
             n_epochs_warmup=1,
             lr_epoch_decay=40 if use_all else 100,
+            mask_pos_weight=2.0 if v2 else 1.0,
         )
         names = (["synthetic.procedural-4k.train",
                   "synthetic.procedural-canon.train",
                   "synthetic.procedural-solo.train"] if use_all
                  else ["synthetic.procedural-4k.train"])
+        if v2:
+            names.append("synthetic.procedural-texsolo.train")
         sets = [make_scene_dataset(n, ds_root=args.ds_root) for n in names]
         scene_ds = sets[0] if len(sets) == 1 else ConcatSceneDataset(sets)
         det_ds = DetectionDataset(scene_ds, label_to_cat, resize=(h, w))

@@ -61,7 +61,12 @@ def main():
         train_sets.append(
             (PoseDataset(
                 scene_ds, resize=resize,
-                apply_rgb_augmentation=getattr(cfg, "rgb_augmentation", True),
+                # with device-side jitter (train.rgb_aug_device) the host
+                # Pillow chain stays off — ops/image_aug.py runs it in-step
+                apply_rgb_augmentation=(
+                    getattr(cfg, "rgb_augmentation", True)
+                    and not cfg.train.rgb_aug_device
+                ),
             ), repeat)
         )
     val_sets = []

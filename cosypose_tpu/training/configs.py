@@ -170,6 +170,13 @@ def make_cfg(config_name: str, debug: bool = False) -> RunConfig:
                 # budget/data as the WRN18 arm — the accuracy half of the
                 # flagship-selection argument (README "Per-stage roofline")
                 mini = dataclasses.replace(mini, backbone="efficientnet-b3")
+            elif part == "fp32":
+                # B3 learning-dynamics lever: full-fp32 backbone (bf16
+                # BatchNorm statistics are a suspect for the flat r4 B3 arm)
+                mini = dataclasses.replace(mini, compute_dtype=jnp.float32)
+            elif part == "dc0":
+                # B3 lever: disable stochastic depth (drop_connect)
+                mini = dataclasses.replace(mini, drop_connect_rate=0.0)
         # coarse arms must recover rotation from the ~120°-off z-up box init;
         # the L1 point loss alone plateaus at the constant-identity basin on
         # this budget (measured r3: rot_deg_median 120°→137°, 128k samples),
@@ -192,7 +199,10 @@ def make_cfg(config_name: str, debug: bool = False) -> RunConfig:
                    n_epochs_warmup=1, n_points_loss=600, lr=lr,
                    noise_euler_deg=noise_euler,
                    noise_trans=(0.01, 0.01, 0.03),
-                   aux_regression_weight=aux, aux_rot_lever_m=lever)
+                   aux_regression_weight=aux, aux_rot_lever_m=lever,
+                   # "-devaug": photometric jitter on device (single-core
+                   # host serializes the Pillow chain — ops/image_aug.py)
+                   rgb_aug_device="-devaug" in config_name)
         ds = ("procedural-texsolo" if "-texsolo" in config_name else
               "procedural-solo" if "-solo" in config_name else
               "procedural-canon")

@@ -38,6 +38,10 @@ class DetectorTrainConfig:
     w_wh: float = 0.1
     w_offset: float = 1.0
     w_mask: float = 1.0
+    # softmax cls_mode: CE weight of the exclusive class head at GT centers
+    # (the capability match for MaskRCNN's ROI-classifier CE term,
+    # ref: maskrcnn_forward_loss.py loss_classifier)
+    w_cls: float = 1.0
     # BCE weight on foreground pixels of the per-instance mask loss. Objects
     # cover ~1% of the head grid, so unweighted BCE is background-dominated
     # and the trained foreground probabilities hedge around ~0.6 (measured on
@@ -77,13 +81,28 @@ def detector_loss(model: CenterNetDetector, cfg: DetectorTrainConfig, params,
         rngs={"dropout": rng},
     )
 
-    l_heat = focal_loss(outputs["heatmap"], batch["heatmap"])
-
     B, Hm, Wm, _ = outputs["wh"].shape
 
     def gather_at(field, inds):  # (B,Hm,Wm,D), (B,N) → (B,N,D)
         flat = field.reshape(B, Hm * Wm, -1)
         return jnp.take_along_axis(flat, inds[..., None], axis=1)
+
+    l_cls = None
+    if "cls_logits" in outputs:
+        # softmax cls_mode: objectness target = per-pixel max over the
+        # class-splatted gaussians; exclusive class CE at GT center pixels
+        target_obj = batch["heatmap"].max(axis=-1, keepdims=True)
+        l_heat = focal_loss(outputs["heatmap"], target_obj)
+        logp = jax.nn.log_softmax(
+            gather_at(outputs["cls_logits"], batch["inds"]), axis=-1
+        )  # (B, N, C)
+        picked = jnp.take_along_axis(
+            logp, batch["classes"][..., None], axis=-1
+        )[..., 0]  # (B, N)
+        mm = batch["obj_mask"].astype(jnp.float32)
+        l_cls = -(picked * mm).sum() / jnp.maximum(mm.sum(), 1.0)
+    else:
+        l_heat = focal_loss(outputs["heatmap"], batch["heatmap"])
 
     m = batch["obj_mask"][..., None].astype(jnp.float32)
     n_obj = jnp.maximum(m.sum(), 1.0)
@@ -125,6 +144,10 @@ def detector_loss(model: CenterNetDetector, cfg: DetectorTrainConfig, params,
         loss_total=loss, loss_heatmap=l_heat, loss_wh=l_wh,
         loss_offset=l_off, loss_mask=l_mask,
     )
+    if l_cls is not None:
+        loss = loss + cfg.w_cls * l_cls
+        metrics["loss_cls"] = l_cls
+        metrics["loss_total"] = loss
     return loss, (metrics, updates["batch_stats"])
 
 

@@ -52,6 +52,13 @@ class PoseTrainConfig:
     # gt+noise input-generator magnitudes (ref: pose_forward_loss.py:36-40)
     noise_euler_deg: tuple = (15.0, 15.0, 15.0)
     noise_trans: tuple = (0.01, 0.01, 0.05)
+    # apply the photometric jitter chain ON DEVICE inside the train step
+    # (ops/image_aug.py) instead of Pillow on the host — the host here has a
+    # single CPU core, so the Pillow chain serializes the input pipeline
+    # (measured 270 ms/batch vs 180 ms device step). The host dataset must be
+    # built with apply_rgb_augmentation=False when this is on.
+    rgb_aug_device: bool = False
+    rgb_aug_p: float = 0.4
     # optimizer (ref: scripts/run_pose_training.py:54-63)
     lr: float = 3e-4
     weight_decay: float = 0.0
@@ -141,7 +148,7 @@ def _make_TCO_init(cfg, batch, points, rng):
 
 
 def pose_loss(pp: PosePredictor, cfg: PoseTrainConfig, params, batch_stats,
-              mesh_db, batch, rng):
+              mesh_db, batch, rng, augment: bool = True):
     """Forward + per-iteration disentangled loss (ref: pose_forward_loss.py:17-84).
 
     batch: {images (B,3,H,W) float[0,1], K (B,3,3), TCO (B,4,4) GT,
@@ -158,7 +165,12 @@ def pose_loss(pp: PosePredictor, cfg: PoseTrainConfig, params, batch_stats,
         images = images.astype(jnp.float32) / 255.0
     batch = {**batch, "images": images}
 
-    k_pts, k_init, k_fwd = jax.random.split(rng, 3)
+    k_pts, k_init, k_fwd, k_aug = jax.random.split(rng, 4)
+    if cfg.rgb_aug_device and augment:
+        from ..ops.image_aug import color_jitter
+
+        batch = {**batch, "images": color_jitter(
+            k_aug, batch["images"], p=cfg.rgb_aug_p)}
     label_ids = batch["label_ids"]
     mesh_data = gather_mesh_data(
         mesh_db, label_ids, n_points_crop=cfg.predictor.n_points_crop
@@ -224,8 +236,11 @@ def make_val_step(pp: PosePredictor, cfg: PoseTrainConfig, mesh_db,
     """Forward-only loss for validation (no update, no batch-stat mutation)."""
 
     def val_step(state: TrainState, batch, rng):
+        # no augmentation in validation (host path builds the val dataset
+        # with apply_rgb_augmentation=False for the same reason)
         _, (metrics, _) = pose_loss(
-            pp, cfg, state.params, state.batch_stats, mesh_db, batch, rng
+            pp, cfg, state.params, state.batch_stats, mesh_db, batch, rng,
+            augment=False,
         )
         return metrics
 

@@ -209,8 +209,9 @@ class TestAverageRecall:
         assert acc.summary()["AR_vsd"] == pytest.approx(0.5)
 
     def test_missed_gt_counts_in_denominator(self):
+        # 1 est, 2 valid GTs: est matches GT0, GT1 stays unmatched → 0.5
         acc = BopAverageRecall(("mssd",))
-        acc.add_group({"mssd": np.zeros((1, 1))}, [1.0], 2)  # 1 est, 2 GT
+        acc.add_group({"mssd": np.array([[0.0, 1e6]])}, [1.0], 2)
         assert acc.summary()["AR_mssd"] == pytest.approx(0.5)
 
     def test_ignored_gt_not_in_denominator(self):
