@@ -131,30 +131,41 @@ def _pad_rows(arr, n):
     )
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _estimate_camera_poses_gather_kernel(
+    poses, label_ids, points, syms, sym_valid, m1c1, m1c2, m2c1, m2c2,
+):
+    """Device-side gather + the seed-hypothesis kernel above.
+
+    Ships only the four int32 index columns (the host-gathered variant moved
+    (N, S, 4, 4) symmetry payloads per seed through the ~20 MB/s tunnel —
+    at protocol scale that is >100 MB and dominated the models stage)."""
+    lab_ab = label_ids[m1c1]
+    lab_gd = label_ids[m2c1]
+    return _estimate_camera_poses_kernel(
+        poses[m1c1], poses[m1c2], poses[m2c1], poses[m2c2],
+        syms[lab_ab], sym_valid[lab_ab],
+        points[lab_gd], syms[lab_gd], sym_valid[lab_gd],
+    )
+
+
 def estimate_camera_poses_batch(candidates, seeds, mesh_db, chunk=2048):
-    """Host gather + padded device scoring of all RANSAC seeds."""
-    poses = np.asarray(candidates.poses)
-    label_ids = mesh_db.ids_for(candidates.infos["label"].values)
-    label_ids = np.asarray(label_ids)
-    syms = np.asarray(mesh_db.symmetries)
-    sym_valid = np.asarray(mesh_db.sym_valid)
-    points = np.asarray(mesh_db.points)
+    """Index-shipping device scoring of all RANSAC seeds."""
+    poses = jnp.asarray(np.asarray(candidates.poses))
+    label_ids = jnp.asarray(np.asarray(
+        mesh_db.ids_for(candidates.infos["label"].values), np.int32))
+    syms = jnp.asarray(np.asarray(mesh_db.symmetries))
+    sym_valid = jnp.asarray(np.asarray(mesh_db.sym_valid))
+    points = jnp.asarray(np.asarray(mesh_db.points))
 
     n = len(seeds["match1_cand1"])
     nb = _bucket(n, chunk)
-    m1c1 = _pad_rows(seeds["match1_cand1"], nb)
-    m1c2 = _pad_rows(seeds["match1_cand2"], nb)
-    m2c1 = _pad_rows(seeds["match2_cand1"], nb)
-    m2c2 = _pad_rows(seeds["match2_cand2"], nb)
-
-    lab_ab = label_ids[m1c1]
-    lab_gd = label_ids[m2c1]
-    TC1C2 = _estimate_camera_poses_kernel(
-        jnp.asarray(poses[m1c1]), jnp.asarray(poses[m1c2]),
-        jnp.asarray(poses[m2c1]), jnp.asarray(poses[m2c2]),
-        jnp.asarray(syms[lab_ab]), jnp.asarray(sym_valid[lab_ab]),
-        jnp.asarray(points[lab_gd]), jnp.asarray(syms[lab_gd]),
-        jnp.asarray(sym_valid[lab_gd]),
+    TC1C2 = _estimate_camera_poses_gather_kernel(
+        poses, label_ids, points, syms, sym_valid,
+        jnp.asarray(_pad_rows(np.asarray(seeds["match1_cand1"], np.int32), nb)),
+        jnp.asarray(_pad_rows(np.asarray(seeds["match1_cand2"], np.int32), nb)),
+        jnp.asarray(_pad_rows(np.asarray(seeds["match2_cand1"], np.int32), nb)),
+        jnp.asarray(_pad_rows(np.asarray(seeds["match2_cand2"], np.int32), nb)),
     )
     return np.asarray(TC1C2)[:n]
 
@@ -196,6 +207,153 @@ def score_tmatches_batch(candidates, tmatches, TC1C2, mesh_db, chunk=None):
         )
         out[start:stop] = np.asarray(d)[: stop - start]
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("k", "hyp_chunk"))
+def _score_select_kernel(poses, label_ids, points, syms, sym_valid, TC1C2,
+                         pair_hyp, pair_hyp_valid, pair_c1, pair_c2,
+                         pair_t_valid, dist_threshold, k=16, hyp_chunk=128):
+    """ONE dispatch for the whole hypothesis×match scoring stage.
+
+    The flat-indexed variant ships 3 int32 columns per expanded row — at
+    protocol scale (8 views / 2000 hypotheses → ~45M rows) that is ~540 MB
+    through the ~20 MB/s tunnel, which *was* the measured 26-36 s scoring
+    stage (results/bench-multiview-protocol.json). This kernel receives the
+    COMPACT per-pair tables (hypothesis ids + tentative matches, padded to
+    (Np, Hmax) / (Np, Tmax)) — a few hundred KB — expands the cross product
+    on device, and returns only the top-k hypotheses per view pair with
+    their (Tmax,) distance rows for the exact C++ greedy re-ranking.
+
+    Selection proxy: n_inliers·1e6 − Σ(inlier dists) — the non-unique
+    upper bound of the cext's greedy (n_inliers, Σdists) criterion; the
+    exact criterion re-ranks the k survivors on host
+    (ref: cosypose_cext.cpp:107-216 semantics preserved end-to-end).
+
+    Returns (top_hyp (Np,k) global ids, top_d (Np,k,Tmax), top_valid (Np,k)).
+    """
+    Np, Hmax = pair_hyp.shape
+    Tmax = pair_c1.shape[1]
+    n_chunks = Hmax // hyp_chunk
+
+    def one_pair(args):
+        hyp, hyp_valid, c1, c2, t_valid = args
+        Ta = poses[c1]                     # (Tmax, 4, 4)
+        Tb = poses[c2]
+        lab = label_ids[c1]
+        pts, sy, sv = points[lab], syms[lab], sym_valid[lab]
+
+        def hyp_block(h_idx):              # (hc,) local hypothesis slots
+            T12 = TC1C2[hyp[h_idx]]        # (hc, 4, 4)
+            TWOb = jnp.einsum("hij,tjk->htik", T12, Tb,
+                              precision=jax.lax.Precision.HIGHEST)
+
+            def d_one(TWOb_h):
+                d, _ = _sym_dist(Ta, TWOb_h, pts, sy, sv)
+                return d
+
+            return jax.vmap(d_one)(TWOb)   # (hc, Tmax)
+
+        d = jax.lax.map(
+            hyp_block, jnp.arange(Hmax).reshape(n_chunks, hyp_chunk)
+        ).reshape(Hmax, Tmax)
+        d = jnp.where(t_valid[None, :], d, jnp.inf)
+        inl = d <= dist_threshold  # cext uses <= (matching.cpp:162)
+        n_in = inl.sum(-1)
+        sumd = jnp.where(inl, d, 0.0).sum(-1)
+        # lexicographic (n_inliers, -Σdist): Σdist < Tmax·threshold ≪ 1e6
+        score = jnp.where(hyp_valid, n_in.astype(jnp.float32) * 1e6 - sumd,
+                          -jnp.inf)
+        top_score, top_idx = jax.lax.top_k(score, k)
+        return hyp[top_idx], d[top_idx], top_score > -jnp.inf
+
+    return jax.lax.map(
+        one_pair, (pair_hyp, pair_hyp_valid, pair_c1, pair_c2, pair_t_valid)
+    )
+
+
+def _compact_pair_tables(seeds, tmatches):
+    """Regroup the cext's flat hypothesis-expanded arrays into per-pair
+    compact tables (each pair's match list appears once, under its first
+    hypothesis — the expansion repeats it verbatim per hypothesis)."""
+    v1 = np.asarray(seeds["view1"], np.int64)
+    v2 = np.asarray(seeds["view2"], np.int64)
+    pair_key = (v1 << 32) | (v2 & 0xFFFFFFFF)
+    uniq, pair_of_hyp = np.unique(pair_key, return_inverse=True)
+    n_pairs = len(uniq)
+
+    # hypotheses per pair
+    order = np.argsort(pair_of_hyp, kind="stable")
+    counts_h = np.bincount(pair_of_hyp, minlength=n_pairs)
+    Hmax = _bucket(int(counts_h.max()), 128)
+    pair_hyp = np.zeros((n_pairs, Hmax), np.int32)
+    pair_hyp_valid = np.zeros((n_pairs, Hmax), bool)
+    col_h = np.concatenate([np.arange(c) for c in counts_h]) if len(order) else []
+    pair_hyp[pair_of_hyp[order], col_h] = order.astype(np.int32)
+    pair_hyp_valid[pair_of_hyp[order], col_h] = True
+
+    # tentative matches per pair: rows whose hypothesis is the pair's first
+    hyp_ids = np.asarray(tmatches["hypothesis_id"], np.int64)
+    first_hyp = np.full(n_pairs, np.iinfo(np.int64).max)
+    np.minimum.at(first_hyp, pair_of_hyp, np.arange(len(pair_of_hyp)))
+    sel = hyp_ids == first_hyp[pair_of_hyp[hyp_ids]]
+    c1_sel = np.asarray(tmatches["cand1"], np.int32)[sel]
+    c2_sel = np.asarray(tmatches["cand2"], np.int32)[sel]
+    pair_of_row = pair_of_hyp[hyp_ids[sel]]
+    counts_t = np.bincount(pair_of_row, minlength=n_pairs)
+    Tmax = _bucket(int(counts_t.max()), 64)
+    pair_c1 = np.zeros((n_pairs, Tmax), np.int32)
+    pair_c2 = np.zeros((n_pairs, Tmax), np.int32)
+    pair_t_valid = np.zeros((n_pairs, Tmax), bool)
+    ord_t = np.argsort(pair_of_row, kind="stable")
+    col_t = np.concatenate([np.arange(c) for c in counts_t]) if len(ord_t) else []
+    pair_c1[pair_of_row[ord_t], col_t] = c1_sel[ord_t]
+    pair_c2[pair_of_row[ord_t], col_t] = c2_sel[ord_t]
+    pair_t_valid[pair_of_row[ord_t], col_t] = True
+    return dict(
+        pair_hyp=pair_hyp, pair_hyp_valid=pair_hyp_valid,
+        pair_c1=pair_c1, pair_c2=pair_c2, pair_t_valid=pair_t_valid,
+    )
+
+
+def score_and_select_topk(candidates, seeds, tmatches, TC1C2, mesh_db,
+                          dist_threshold, k=16):
+    """Device scoring + per-pair top-k hypothesis selection.
+
+    Returns flat (hyp, cand1, cand2, dists) arrays restricted to the k best
+    hypotheses per view pair, ready for the exact cext greedy inlier pass.
+    """
+    tables = _compact_pair_tables(seeds, tmatches)
+    poses = jnp.asarray(np.asarray(candidates.poses))
+    label_ids = jnp.asarray(np.asarray(
+        mesh_db.ids_for(candidates.infos["label"].values), np.int32))
+    k_eff = min(k, tables["pair_hyp"].shape[1])
+    top_hyp, top_d, top_valid = _score_select_kernel(
+        poses, label_ids,
+        jnp.asarray(np.asarray(mesh_db.points)),
+        jnp.asarray(np.asarray(mesh_db.symmetries)),
+        jnp.asarray(np.asarray(mesh_db.sym_valid)),
+        jnp.asarray(TC1C2),
+        jnp.asarray(tables["pair_hyp"]),
+        jnp.asarray(tables["pair_hyp_valid"]),
+        jnp.asarray(tables["pair_c1"]),
+        jnp.asarray(tables["pair_c2"]),
+        jnp.asarray(tables["pair_t_valid"]),
+        dist_threshold, k=k_eff,
+    )
+    top_hyp = np.asarray(top_hyp)
+    top_d = np.asarray(top_d)           # (Np, k, Tmax)
+    top_valid = np.asarray(top_valid)
+    Np, K, Tmax = top_d.shape
+    row_valid = (top_valid[:, :, None]
+                 & tables["pair_t_valid"][:, None, :])   # (Np, k, Tmax)
+    hyp_flat = np.broadcast_to(top_hyp[:, :, None], (Np, K, Tmax))[row_valid]
+    c1_flat = np.broadcast_to(
+        tables["pair_c1"][:, None, :], (Np, K, Tmax))[row_valid]
+    c2_flat = np.broadcast_to(
+        tables["pair_c2"][:, None, :], (Np, K, Tmax))[row_valid]
+    d_flat = top_d[row_valid]
+    return (hyp_flat.astype(np.int32), c1_flat.astype(np.int32),
+            c2_flat.astype(np.int32), d_flat.astype(np.float32))
 
 
 def scene_level_matching(candidates, inliers):
@@ -250,6 +408,7 @@ def multiview_candidate_matching(
     n_ransac_iter: int = 20,
     n_min_inliers: int = 3,
     seed: int = 0,
+    scoring: str = "topk",
 ):
     """Orchestrator (ref: multiview/ransac.py:137-199).
 
@@ -290,12 +449,24 @@ def multiview_candidate_matching(
     timer_models.pause()
 
     timer_score.start()
-    dists = score_tmatches_batch(candidates, tmatches, TC1C2, mesh_db)
-    inliers = matching_cext.find_ransac_inliers(
-        seeds["view1"], seeds["view2"],
-        tmatches["hypothesis_id"], tmatches["cand1"], tmatches["cand2"],
-        dists, dist_threshold, n_min_inliers,
-    )
+    if scoring == "topk":
+        # device cross-product scoring + top-k preselection (one dispatch),
+        # exact cext greedy re-ranks only the survivors — see
+        # _score_select_kernel for the measured transfer-bound rationale
+        hyp_f, c1_f, c2_f, d_f = score_and_select_topk(
+            candidates, seeds, tmatches, TC1C2, mesh_db, dist_threshold,
+        )
+        inliers = matching_cext.find_ransac_inliers(
+            seeds["view1"], seeds["view2"], hyp_f, c1_f, c2_f,
+            d_f, dist_threshold, n_min_inliers,
+        )
+    else:  # "full": flat-indexed scoring of every expanded row
+        dists = score_tmatches_batch(candidates, tmatches, TC1C2, mesh_db)
+        inliers = matching_cext.find_ransac_inliers(
+            seeds["view1"], seeds["view2"],
+            tmatches["hypothesis_id"], tmatches["cand1"], tmatches["cand2"],
+            dists, dist_threshold, n_min_inliers,
+        )
     timer_score.pause()
 
     timer_misc.resume()

@@ -212,3 +212,66 @@ def test_bundle_adjustment_converges():
         TCO_est = np.linalg.inv(TWC_est[i0]) @ TWO_est[n]
         TCO_gt = np.linalg.inv(TWC[0]) @ TWO[o]
         np.testing.assert_allclose(TCO_est, TCO_gt, atol=0.02)
+
+
+def make_scene_rich(seed=0, n_views=4, noise=0.002, outliers=3):
+    """Duplicate labels + noise + outlier candidates — exercises the greedy
+    uniqueness logic and per-pair hypothesis ranking."""
+    rng = np.random.RandomState(seed)
+    TWO = []
+    labels = []
+    for i in range(6):
+        T = np.eye(4)
+        T[:3, :3] = rot("z", 0.9 * i) @ rot("x", 0.2 + 0.35 * i)
+        T[:3, 3] = [0.22 * (i % 3) - 0.2, 0.18 * (i // 3) - 0.1, 0.1]
+        TWO.append(T)
+        labels.append(f"obj_{i % 3}")  # duplicate instances per label
+    TWC = []
+    for v in range(n_views):
+        T = np.eye(4)
+        T[:3, :3] = rot("y", 0.35 * v - 0.5) @ rot("x", 0.1 * v)
+        T[:3, 3] = [0.25 * v - 0.4, 0.05 * v, -1.1]
+        TWC.append(T)
+    rows, poses = [], []
+    for v in range(n_views):
+        for o in range(6):
+            TCO = np.linalg.inv(TWC[v]) @ TWO[o]
+            TCO = TCO.copy()
+            TCO[:3, 3] += rng.normal(scale=noise, size=3)
+            rows.append(dict(view_id=v, label=labels[o], score=0.9))
+            poses.append(TCO)
+    for _ in range(outliers):  # junk candidates that should not match
+        T = np.eye(4)
+        T[:3, :3] = rot("z", rng.uniform(0, 6))
+        T[:3, 3] = rng.uniform(-1, 1, 3)
+        rows.append(dict(view_id=int(rng.randint(n_views)),
+                         label=f"obj_{int(rng.randint(3))}", score=0.5))
+        poses.append(T)
+    return PandasTensorCollection(
+        pd.DataFrame(rows), poses=jnp.asarray(np.stack(poses), jnp.float32)
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_topk_scoring_matches_full_path(seed):
+    """The device top-k preselection + exact cext re-rank must reproduce the
+    full flat-scored path end to end (same matched objects, same best
+    view-pair hypotheses)."""
+    db = make_db()
+    candidates = make_scene_rich(seed=seed)
+    kw = dict(mesh_db=db, dist_threshold=0.02, n_ransac_iter=20,
+              n_min_inliers=3, seed=seed)
+    out_full = multiview_candidate_matching(
+        candidates.clone() if hasattr(candidates, "clone") else candidates,
+        scoring="full", **kw)
+    out_topk = multiview_candidate_matching(candidates, scoring="topk", **kw)
+
+    fi = out_full["filtered_candidates"].infos
+    ti = out_topk["filtered_candidates"].infos
+    assert len(fi) == len(ti)
+    assert (fi["cand_id"].values == ti["cand_id"].values).all()
+    assert (fi["obj_id"].values == ti["obj_id"].values).all()
+    pf, pt = out_full["pairs_TC1C2"], out_topk["pairs_TC1C2"]
+    assert (pf.infos["view1"].values == pt.infos["view1"].values).all()
+    np.testing.assert_allclose(np.asarray(pf.TC1C2), np.asarray(pt.TC1C2),
+                               atol=1e-6)
