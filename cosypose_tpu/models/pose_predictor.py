@@ -212,13 +212,23 @@ class PoseNet(nn.Module):
         feats = backbone(x_nhwc, train=train)          # (B, h, w, C)
         parts = self.cfg.pooling.split("+")
         pooled = feats.mean(axis=(1, 2)).astype(jnp.float32)
-        if "moments" in parts:
+        if "moments" in parts or "scale" in parts:
             h, w = feats.shape[1], feats.shape[2]
             fy = jnp.linspace(-1.0, 1.0, h, dtype=feats.dtype)[:, None, None]
             fx = jnp.linspace(-1.0, 1.0, w, dtype=feats.dtype)[None, :, None]
+        if "moments" in parts:
             mx = (feats * fx).mean(axis=(1, 2)).astype(jnp.float32)
             my = (feats * fy).mean(axis=(1, 2)).astype(jnp.float32)
             pooled = jnp.concatenate([pooled, mx, my], axis=-1)
+        if "scale" in parts:
+            # second spatial moments: the radial-extent statistic. The z
+            # error renders as a SCALE difference between observation and
+            # render (the DeepIM crop tracks the render, so the render's
+            # apparent size is ~constant); first moments are scale-blind
+            # (diag: scripts/diag_z.py, results/diag-z.json).
+            sx = (feats * fx * fx).mean(axis=(1, 2)).astype(jnp.float32)
+            sy = (feats * fy * fy).mean(axis=(1, 2)).astype(jnp.float32)
+            pooled = jnp.concatenate([pooled, sx, sy], axis=-1)
         if "flatten" in parts:
             # keep the final spatial grid: GAP(+moments) statistics are
             # nearly ROTATION-blind — measured on the ±15° SE(3) refiner arm,

@@ -57,13 +57,18 @@ def bop19_ar_table(results: dict) -> str:
 
 
 def multiview_table(results: dict) -> str:
-    """Steady-state row for a bench_multiview JSON (last rep = warm)."""
+    """Steady-state row for a bench_multiview JSON (last rep = warm).
+
+    Renders bench_multiview.py and bench_multiview_ref.py JSONs alike
+    (the 'backend' field labels the reference torch-CPU baseline row)."""
     cfg = results["config"]
     r = results["rows"][-1]
+    backend = results.get("backend", "this framework")
     return (
-        "| scenario | candidates | matched | RANSAC (models/score/total) "
-        "| BA | objects out |\n"
-        "|---|---|---|---|---|---|\n"
+        "| implementation | scenario | candidates | matched "
+        "| RANSAC (models/score/total) | BA | objects out |\n"
+        "|---|---|---|---|---|---|---|\n"
+        f"| {backend} "
         f"| {cfg['n_views']} views · {cfg['n_objects']} objects · "
         f"{cfg['ransac_iter']} hypotheses "
         f"| {r['n_candidates']} | {r['n_matched']} "

@@ -127,6 +127,7 @@ def make_cfg(config_name: str, debug: bool = False) -> RunConfig:
             pooling=("gap" if "-gap" in config_name else
                      "gap+moments+flatten" if "-flat" in config_name else
                      "gap+moments")
+            + ("+scale" if "sc" in config_name.split("-") else "")
             + ("+lk" if "-lk" in config_name else ""),
             input_mode=("obs+render" if "-nodiff" in config_name
                         else "obs+render+diff"),
@@ -136,6 +137,7 @@ def make_cfg(config_name: str, debug: bool = False) -> RunConfig:
         lever = 0.05
         n_epochs = None
         n_iterations = 1
+        z_weight = 1.0
         # "-rot" arm: the reference's full SE(3) refiner noise (±15° euler,
         # ref pose_forward_loss.py:36-40); "rot<N>" picks another magnitude
         rot_deg = 0.0
@@ -177,6 +179,9 @@ def make_cfg(config_name: str, debug: bool = False) -> RunConfig:
             elif part == "dc0":
                 # B3 lever: disable stochastic depth (drop_connect)
                 mini = dataclasses.replace(mini, drop_connect_rate=0.0)
+            elif part.startswith("zw"):
+                # z-hypothesis loss weight (diag_z: z is the low-SNR head)
+                z_weight = float(part[2:])
         # coarse arms must recover rotation from the ~120°-off z-up box init;
         # the L1 point loss alone plateaus at the constant-identity basin on
         # this budget (measured r3: rot_deg_median 120°→137°, 128k samples),
@@ -200,6 +205,7 @@ def make_cfg(config_name: str, debug: bool = False) -> RunConfig:
                    noise_euler_deg=noise_euler,
                    noise_trans=(0.01, 0.01, 0.03),
                    aux_regression_weight=aux, aux_rot_lever_m=lever,
+                   z_loss_weight=z_weight,
                    # "-devaug": photometric jitter on device (single-core
                    # host serializes the Pillow chain — ops/image_aug.py)
                    rgb_aug_device="-devaug" in config_name)

@@ -49,6 +49,9 @@ class PoseTrainConfig:
     # 0.0 reproduces reference semantics
     aux_regression_weight: float = 0.0
     aux_rot_lever_m: float = 0.05
+    # z-hypothesis weight in the disentangled loss (ops/losses.py z_weight;
+    # measured low-SNR basis in scripts/diag_z.py); 1.0 = reference semantics
+    z_loss_weight: float = 1.0
     # gt+noise input-generator magnitudes (ref: pose_forward_loss.py:36-40)
     noise_euler_deg: tuple = (15.0, 15.0, 15.0)
     noise_trans: tuple = (0.01, 0.01, 0.05)
@@ -204,6 +207,7 @@ def pose_loss(pp: PosePredictor, cfg: PoseTrainConfig, params, batch_stats,
             l, comps = loss_refiner_CO_disentangled(
                 TCO_possible_gt, TCO_input, pose_outputs, K_crop, points,
                 pose_dim=cfg.predictor.pose_dim, return_components=True,
+                z_weight=cfg.z_loss_weight,
             )
         else:
             l = compute_ADD_L1_loss(TCO_possible_gt[:, 0], TCO_output, points)

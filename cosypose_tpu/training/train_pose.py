@@ -183,8 +183,14 @@ def train_pose(cfg, scene_datasets=None, mesh_db=None, resume: bool = False,
         acc = MetricsAccumulator()
         import time as _time
 
+        # per-epoch step breakdown: host data wait vs dispatch+device time
+        # (the reference logs the same split via its data/forward/backward
+        # timers, ref: train_pose.py:304-333)
+        t_data = t_step = 0.0
         t_last, n_steps = _time.time(), 0
+        t_mark = _time.perf_counter()
         for batch in loader:
+            t_data += _time.perf_counter() - t_mark
             rng, step_rng = jax.random.split(rng)
             device_batch = dict(
                 images=batch.images,  # uint8; float conversion on device
@@ -206,6 +212,15 @@ def train_pose(cfg, scene_datasets=None, mesh_db=None, resume: bool = False,
                     f"loss {float(metrics['loss_total']):.4f}"
                 )
                 t_last = _time.time()
+            t_step += _time.perf_counter() - t_mark
+            t_mark = _time.perf_counter()
+        if n_steps:
+            # t_step includes t_data (async dispatch hides device time until
+            # the next blocking transfer); block on the last metric to charge
+            # the tail to the step bucket
+            jax.block_until_ready(metrics["loss_total"])
+            acc.add({"data_s_per_step": t_data / n_steps,
+                     "step_s_per_step": t_step / n_steps})
 
         record = run_logger.append(epoch, acc.means())
         logger.info(f"epoch {epoch}: {record}")
