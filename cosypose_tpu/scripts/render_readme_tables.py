@@ -79,11 +79,29 @@ def multiview_table(results: dict) -> str:
     )
 
 
+def step_breakdown_table(results: dict) -> str:
+    """Training step breakdown row (scripts/collect_step_breakdown.py)."""
+    ips = results["img_per_s_per_chip"]
+    ref = results["ref_img_per_s_per_v100"]
+    return (
+        "| run | batch | data wait /step | end-to-end /step "
+        "| img/s/chip | vs ref 70 img/s/V100 |\n"
+        "|---|---|---|---|---|---|\n"
+        f"| `{results['run_id']}` | {results['batch_size']} "
+        f"| {results['data_s_per_step']['median']*1e3:.1f} ms "
+        f"| {results['step_s_per_step']['median']*1e3:.0f} ms "
+        f"(best {results['step_s_per_step']['min']*1e3:.0f} ms) "
+        f"| **{ips['median']:.0f}** (best {ips['best']:.0f}) "
+        f"| **{ips['median']/ref:.1f}×** |"
+    )
+
+
 _RENDERERS = {
     "per_pair": per_pair_table,
     "detection": detection_table,
     "bop19_ar": bop19_ar_table,
     "multiview": multiview_table,
+    "step_breakdown": step_breakdown_table,
 }
 
 
