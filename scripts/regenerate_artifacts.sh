@@ -112,4 +112,62 @@ retry python -m cosypose_tpu.scripts.run_bop_inference --dataset procedural \
     --n-frames 150 --detector detector-procedural-all \
     --refiner procedural-refiner-mini
 sync_results
+
+# ---- 7. round-5 arms ---------------------------------------------------------
+# textured-solo tier (rotation is render-observable here — README analysis)
+[ -f local_data/synt_datasets/procedural-texsolo/split_keys.json ] || \
+    retry $REC --config procedural-texsolo
+
+# flagship B3 with the measured drop_connect fix (2x budget + equal-budget pt)
+train_resumable "$TRAIN" procedural-diag-lr0.003-solo-b3-dc0-devaug-ep40
+retry $ACC --run-id procedural-diag-lr0.003-solo-b3-dc0-devaug-ep40 --n-frames 150 --n-iterations 4
+train_resumable "$TRAIN" procedural-diag-lr0.003-solo-b3-dc0-devaug-ep20
+retry $ACC --run-id procedural-diag-lr0.003-solo-b3-dc0-devaug-ep20 --n-frames 150 --n-iterations 4
+
+# z-lever arm (diag-z: z is the low-SNR head; zw3 = gradient priority)
+train_resumable "$TRAIN" procedural-diag-lr0.003-solo-zw3-devaug-ep20
+retry $ACC --run-id procedural-diag-lr0.003-solo-zw3-devaug-ep20 --n-frames 150 --n-iterations 4
+
+# iteration-2-supervised coarse arms (overshoot fix) + texsolo refiner (ep40)
+train_resumable "$TRAIN" procedural-diag-lr0.003-solo-coarse-flat-lev0.25-hi0.01-it2-devaug
+retry $ACC --run-id procedural-diag-lr0.003-solo-coarse-flat-lev0.25-hi0.01-it2-devaug --n-frames 150 --n-iterations 2
+train_resumable "$TRAIN" procedural-diag-lr0.003-texsolo-coarse-flat-lev0.25-hi0.01-it2-devaug
+retry $ACC --run-id procedural-diag-lr0.003-texsolo-coarse-flat-lev0.25-hi0.01-it2-devaug --n-frames 150 --n-iterations 2
+train_resumable "$TRAIN" procedural-diag-lr0.003-texsolo-rot-flat-lk-lev0.25-hi0.01-ep40-devaug
+retry $ACC --run-id procedural-diag-lr0.003-texsolo-rot-flat-lk-lev0.25-hi0.01-ep40-devaug --n-frames 150 --n-iterations 4
+sync_results
+
+# detector v2 (softmax classifier, 32 protos, texsolo in the mix) + evals
+train_resumable "$DET" detector-procedural-all2 --n-epochs 90
+retry python -m cosypose_tpu.scripts.run_detection_eval \
+    --dataset synthetic.procedural-4k.val \
+    --detector detector-procedural-all2 --object-ds procedural --masks
+retry python -m cosypose_tpu.scripts.run_detection_eval \
+    --dataset synthetic.procedural-texsolo.val \
+    --detector detector-procedural-all2 --object-ds procedural-tex --masks
+sync_results
+
+# composed textured pipeline BOP19 AR (+ICP)
+retry python -m cosypose_tpu.scripts.run_bop_inference \
+    --dataset procedural --inference-ds synthetic.procedural-texsolo.val \
+    --detector detector-procedural-all2 \
+    --coarse procedural-diag-lr0.003-texsolo-coarse-flat-lev0.25-hi0.01-it2-devaug \
+    --refiner procedural-diag-lr0.003-texsolo-rot-flat-lk-lev0.25-hi0.01-ep40-devaug
+retry python -m cosypose_tpu.scripts.run_bop_inference \
+    --dataset procedural --inference-ds synthetic.procedural-texsolo.val \
+    --detector detector-procedural-all2 \
+    --coarse procedural-diag-lr0.003-texsolo-coarse-flat-lev0.25-hi0.01-it2-devaug \
+    --refiner procedural-diag-lr0.003-texsolo-rot-flat-lk-lev0.25-hi0.01-ep40-devaug --icp
+sync_results
+
+# step-breakdown + multiview protocol bench (+ reference torch-CPU row)
+python scripts/collect_step_breakdown.py \
+    --run-id procedural-diag-lr0.003-solo-b3-dc0-devaug-ep40
+retry timeout 2400 python -m cosypose_tpu.scripts.bench_multiview \
+    --n-views 8 --n-objects 12 --ransac-iter 2000 \
+    --json local_data/results/bench-multiview-protocol.json
+retry timeout 3600 python -m cosypose_tpu.scripts.bench_multiview_ref \
+    --n-views 8 --n-objects 12 --ransac-iter 2000 \
+    --json local_data/results/bench-multiview-ref-cpu.json
+sync_results
 echo "regeneration complete; tracked copies in results/"
