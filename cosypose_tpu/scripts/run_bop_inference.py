@@ -152,6 +152,13 @@ def main(argv=None):
     parser.add_argument("--nviews", type=int, default=1)
     parser.add_argument("--icp", action="store_true")
     parser.add_argument("--detection-th", type=float, default=0.3)
+    parser.add_argument("--n-coarse", type=int, default=1,
+                        help="coarse iterations (protocol default 1, ref "
+                             "run_bop_inference n_coarse_iterations=1; >1 is "
+                             "an ablation knob for it2-supervised coarse "
+                             "models, which are contractive)")
+    parser.add_argument("--n-refiner", type=int, default=4,
+                        help="refiner iterations (protocol default 4)")
     parser.add_argument("--ds-root", default=None)
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--out-dir", default=None,
@@ -209,8 +216,8 @@ def main(argv=None):
     icp = ICPRefiner(mesh_db) if args.icp else None
 
     runner = BopPredictionRunner(
-        ds_multi, n_coarse_iterations=1 if coarse else 0,
-        n_refiner_iterations=4,
+        ds_multi, n_coarse_iterations=args.n_coarse if coarse else 0,
+        n_refiner_iterations=args.n_refiner,
     )
     preds = runner.get_predictions(
         detector, pose_predictor, mv_predictor=mv_predictor, icp_refiner=icp,
@@ -289,6 +296,9 @@ def main(argv=None):
             )
 
         suffix = "-icp" if args.icp else ""
+        if args.n_coarse != 1 or args.n_refiner != 4:
+            # ablation runs must never overwrite the protocol artifact
+            suffix += f"-c{args.n_coarse}r{args.n_refiner}"
         mpath = (out_dir
                  / f"metrics-{inference_ds.replace('.', '_')}{suffix}.json")
         with open(mpath, "w") as f:
